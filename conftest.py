@@ -1,15 +1,21 @@
 """Test configuration: run JAX tests on a virtual 8-device CPU mesh.
 
-The TPU kernels are written for TPU but are functionally testable on CPU
-(interpret mode for Pallas); multi-chip sharding is tested on a virtual
-8-device host platform. Benchmarks (bench.py) run on the real TPU chip.
+IMPORTANT environment note: this machine globally sets JAX_PLATFORMS=axon and
+a sitecustomize registers the axon PJRT plugin, which tunnels to ONE real TPU
+chip with exclusive access (concurrent JAX processes hang waiting for it).
+Tests therefore force the CPU platform — both via env var and via
+jax.config.update, because the plugin registration wins over the env var.
+Benchmarks (bench.py) run on the real TPU chip, one process at a time.
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
-os.environ.setdefault("AERO_TPU_INTERPRET", "1")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
