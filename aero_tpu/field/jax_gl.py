@@ -300,3 +300,52 @@ def _reverse_cumulative(a: GF, prod: GF, total_inv: GF, axis):
     t = GF(jnp.broadcast_to(total_inv.lo, a.shape),
            jnp.broadcast_to(total_inv.hi, a.shape))
     return mul(suffix_excl, t)
+
+
+# ------------------------------------------------------- derived device utils
+
+def power_series(base_int: int, n: int, scale_int: int = 1) -> GF:
+    """[scale, scale*base, scale*base^2, ...] of length n, via log-depth scan."""
+    b = gf_full((n,), base_int % P)
+    ps = jax.lax.associative_scan(mul, b)          # [b, b^2, ..., b^n]
+    one = gf_full((1,), 1)
+    shifted = gf_concat([one, ps[:-1] if False else GF(ps.lo[:-1], ps.hi[:-1])])
+    if scale_int % P != 1:
+        shifted = mul_scalar(shifted, scale_int)
+    return shifted
+
+
+def gf_sum(x: GF, axis: int = -1) -> GF:
+    """Field sum along `axis` via pairwise tree reduction."""
+    axis = axis % len(x.shape)
+    n = x.shape[axis]
+    while n > 1:
+        half = n // 2
+        idx_a = [slice(None)] * len(x.shape)
+        idx_b = [slice(None)] * len(x.shape)
+        idx_a[axis] = slice(0, half)
+        idx_b[axis] = slice(half, 2 * half)
+        a = GF(x.lo[tuple(idx_a)], x.hi[tuple(idx_a)])
+        b = GF(x.lo[tuple(idx_b)], x.hi[tuple(idx_b)])
+        s = add(a, b)
+        if n % 2:
+            idx_r = [slice(None)] * len(x.shape)
+            idx_r[axis] = slice(2 * half, n)
+            s = gf_concat([s, GF(x.lo[tuple(idx_r)], x.hi[tuple(idx_r)])], axis=axis)
+            n = half + 1
+        else:
+            x = s
+            n = half
+            continue
+        x = s
+    return x
+
+
+def eval_polys_at(polys: GF, z_int: int) -> np.ndarray:
+    """Evaluate GF[..., n] coefficient rows at the scalar z; returns uint64."""
+    n = polys.shape[-1]
+    zp = power_series(z_int, n)
+    terms = mul(polys, GF(jnp.broadcast_to(zp.lo, polys.shape),
+                          jnp.broadcast_to(zp.hi, polys.shape)))
+    s = gf_sum(terms, axis=-1)
+    return from_gf(GF(s.lo.squeeze(-1), s.hi.squeeze(-1)))

@@ -37,6 +37,8 @@ class Twiddles:
 
     @classmethod
     def stages(cls, log_n: int, invert: bool):
+        # cached as NUMPY limb pairs (never jax arrays: a jax array created
+        # inside a jit trace would leak a tracer into the cache)
         key = (log_n, invert)
         if key not in cls._cache:
             w = F.get_root_of_unity(log_n)
@@ -46,10 +48,12 @@ class Twiddles:
             for s in range(1, log_n + 1):
                 m = 1 << s
                 wm = F.exp(w, 1 << (log_n - s))
-                tw = F.get_power_series(wm, m // 2)
-                stages.append(to_gf(np.array(tw, dtype=np.uint64)))
+                tw = np.array(F.get_power_series(wm, m // 2), dtype=np.uint64)
+                stages.append(((tw & np.uint64(0xFFFFFFFF)).astype(np.uint32),
+                               (tw >> np.uint64(32)).astype(np.uint32)))
             cls._cache[key] = stages
-        return cls._cache[key]
+        return [GF(jnp.asarray(lo), jnp.asarray(hi))
+                for lo, hi in cls._cache[key]]
 
     @classmethod
     def bitrev(cls, log_n: int) -> np.ndarray:
@@ -104,8 +108,15 @@ def intt(evals: GF) -> GF:
 
 
 @functools.lru_cache(maxsize=32)
+def _offset_powers_np(n: int, offset: int):
+    arr = np.array(F.get_power_series(offset, n), dtype=np.uint64)
+    return ((arr & np.uint64(0xFFFFFFFF)).astype(np.uint32),
+            (arr >> np.uint64(32)).astype(np.uint32))
+
+
 def _offset_powers(n: int, offset: int) -> GF:
-    return to_gf(np.array(F.get_power_series(offset, n), dtype=np.uint64))
+    lo, hi = _offset_powers_np(n, offset)
+    return GF(jnp.asarray(lo), jnp.asarray(hi))
 
 
 @functools.partial(jax.jit, static_argnames=("log_blowup", "offset"))

@@ -1,0 +1,84 @@
+"""FRI prover: commit/fold layers on device.
+
+Fold semantics are forced by the verifier (reference:
+src/stark_verifier/fri/fri_verifier.cairo:243-339): at each layer the
+degree-(ff-1) interpolant through the fiber {offset*w^fp * w8^j} evaluated at
+alpha becomes the next layer's value at position fp, layers keep offset 7 and
+generator w^ff. In coefficient form this reduces to one iNTT + a weighted
+fold of coefficient groups with weights (alpha/offset)^j + one NTT:
+
+    raw = intt(evals)                       # no coset scaling needed
+    folded[k] = sum_j (alpha/offset)^j * raw[ff*k + j]
+    next_evals = ntt(folded)
+
+Each committed layer is a Merkle tree over "transposed" leaves: leaf fp holds
+the ff values at positions {fp + t*(m/ff)} (channel.cairo:102-121 layout).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List, Tuple
+
+from ..spec import field as F
+from ..field import GF, from_gf, to_gf, mul, gf_sum, gf_reshape
+from ..ntt import ntt, intt
+from ..merkle import commit_rows, DeviceMerkleTree
+
+
+def transposed_rows(evals: GF, ff: int) -> GF:
+    """GF[m] evaluations -> GF[m/ff, ff] leaf rows (leaf fp = strided fiber)."""
+    m = evals.shape[-1]
+    return GF(evals.lo.reshape(ff, m // ff).T, evals.hi.reshape(ff, m // ff).T)
+
+
+def fold_evals(evals: GF, alpha: int, ff: int, offset: int = F.DOMAIN_OFFSET) -> GF:
+    """One FRI fold: GF[m] -> GF[m/ff]."""
+    m = evals.shape[-1]
+    raw = intt(evals)
+    groups = gf_reshape(raw, (m // ff, ff))
+    w = F.mul(alpha, F.inv(offset))
+    weights = to_gf([F.exp(w, j) for j in range(ff)])
+    import jax.numpy as jnp
+    terms = mul(groups, GF(jnp.broadcast_to(weights.lo, groups.shape),
+                           jnp.broadcast_to(weights.hi, groups.shape)))
+    folded = gf_sum(terms, axis=-1)
+    folded = GF(folded.lo.reshape(m // ff), folded.hi.reshape(m // ff))
+    return ntt(folded)
+
+
+@dataclass
+class FriLayer:
+    evals: GF                      # evaluations over this layer's domain
+    tree: DeviceMerkleTree         # transposed-leaf commitment
+    rows: GF                       # GF[m/ff, ff] leaf rows
+
+
+def commit_fri(deep_evals: GF, coin, ff: int, max_remainder: int
+               ) -> Tuple[List[FriLayer], List[int], List[int], DeviceMerkleTree]:
+    """Run the FRI commit phase.
+
+    Returns (layers, alphas, remainder_values, remainder_tree). The coin is
+    reseeded with each layer root (alpha drawn after each, including the
+    remainder commitment, whose alpha is unused)."""
+    layers: List[FriLayer] = []
+    alphas: List[int] = []
+    evals = deep_evals
+    m = evals.shape[-1]
+    while m > max_remainder:
+        rows = transposed_rows(evals, ff)
+        tree = commit_rows(rows)
+        coin.reseed(tree.root)
+        alpha = coin.draw()
+        alphas.append(alpha)
+        layers.append(FriLayer(evals, tree, rows))
+        evals = fold_evals(evals, alpha, ff)
+        m = evals.shape[-1]
+
+    # remainder: committed via the same transposed layout, values sent inline
+    rem_rows = transposed_rows(evals, ff)
+    rem_tree = commit_rows(rem_rows)
+    coin.reseed(rem_tree.root)
+    alphas.append(coin.draw())  # drawn but unused (matches verifier)
+    remainder = [int(v) for v in from_gf(evals)]
+    return layers, alphas, remainder, rem_tree
