@@ -80,13 +80,24 @@ class FibAir(Air):
     def evaluate_transitions(self, main_cur: GF, main_nxt: GF,
                              aux_cur: Optional[GF], aux_nxt: Optional[GF],
                              aux_rand: Sequence[int]) -> List[GF]:
+        import jax.numpy as jnp
         a, b = main_cur[0], main_cur[1]
         an, bn = main_nxt[0], main_nxt[1]
         c0 = sub(an, add(a, b))
         c1 = sub(bn, add(a, mul_scalar(b, 2)))
         p, pn = aux_cur[0], aux_nxt[0]
-        mix = add(gf_full(a.shape, aux_rand[0]),
-                  add(a, mul_scalar(b, aux_rand[1])))
+
+        def rand_term(r, shape):
+            # rand elements arrive as host ints (prover/verifier path) or as
+            # traced GF scalars (fused sharded path)
+            if isinstance(r, GF):
+                return GF(jnp.broadcast_to(r.lo, shape),
+                          jnp.broadcast_to(r.hi, shape))
+            return gf_full(shape, r)
+
+        r0 = rand_term(aux_rand[0], a.shape)
+        r1 = rand_term(aux_rand[1], a.shape)
+        mix = add(r0, add(a, mul(b, r1)))
         c2 = sub(pn, mul(p, mix))
         return [c0, c1, c2]
 

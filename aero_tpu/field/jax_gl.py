@@ -246,9 +246,30 @@ def pow_const(a: GF, e: int) -> GF:
     return result
 
 
+def pow_loop(a: GF, e: int) -> GF:
+    """a^e via a fori_loop square-and-multiply over the exponent bits.
+
+    Compiles to a tiny module (2 muls in the loop body) — use instead of
+    pow_const in large fused graphs: XLA:CPU compile time grows
+    superlinearly with flat op count."""
+    nbits = max(e.bit_length(), 1)
+    bits = jnp.asarray(np.array([(e >> i) & 1 for i in range(nbits)],
+                                dtype=np.bool_))
+
+    def body(i, carry):
+        res, base = carry
+        res = gf_where(bits[i], mul(res, base), res)
+        base = square(base)
+        return res, base
+
+    res0 = gf_full(a.shape, 1)
+    res, _ = jax.lax.fori_loop(0, nbits, body, (res0, a))
+    return res
+
+
 def inv(a: GF) -> GF:
-    """Fermat inverse a^(p-2) (elementwise; ~72 muls)."""
-    return pow_const(a, P - 2)
+    """Fermat inverse a^(p-2) (elementwise, loop-form square-and-multiply)."""
+    return pow_loop(a, P - 2)
 
 
 def batch_inv(a: GF, axis: int = -1) -> GF:
@@ -305,14 +326,20 @@ def _reverse_cumulative(a: GF, prod: GF, total_inv: GF, axis):
 # ------------------------------------------------------- derived device utils
 
 def power_series(base_int: int, n: int, scale_int: int = 1) -> GF:
-    """[scale, scale*base, scale*base^2, ...] of length n, via log-depth scan."""
-    b = gf_full((n,), base_int % P)
-    ps = jax.lax.associative_scan(mul, b)          # [b, b^2, ..., b^n]
-    one = gf_full((1,), 1)
-    shifted = gf_concat([one, ps[:-1] if False else GF(ps.lo[:-1], ps.hi[:-1])])
-    if scale_int % P != 1:
-        shifted = mul_scalar(shifted, scale_int)
-    return shifted
+    """[scale, scale*base, scale*base^2, ...] of length n.
+
+    Built by log-doubling (concat + one elementwise mul per doubling) —
+    deliberately avoids lax.associative_scan, which feeds an XLA:CPU
+    algebraic-simplifier pathology under SPMD partitioning."""
+    assert n & (n - 1) == 0, "power_series length must be a power of 2"
+    out = gf_full((1,), scale_int % P)
+    length = 1
+    b = base_int % P
+    while length < n:
+        out = gf_concat([out, mul_scalar(out, b)])
+        b = b * b % P
+        length *= 2
+    return out
 
 
 def gf_sum(x: GF, axis: int = -1) -> GF:

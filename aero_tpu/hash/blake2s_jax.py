@@ -153,3 +153,64 @@ def digests_to_bytes(digests) -> list[bytes]:
     """(n, 8) uint32 device/host array -> list of 32-byte digests."""
     arr = np.asarray(jax.device_get(digests), dtype="<u4")
     return [arr[i].tobytes() for i in range(arr.shape[0])]
+
+
+# ---------------------------------------------------------------- tuple forms
+# For fused (single-jit) pipelines the digest must stay a tuple of 8 (batch,)
+# arrays end-to-end: concatenating the compress outputs inside a jitted graph
+# triggers the XLA:CPU fusion pathology documented above.
+
+def felt_rows_to_word_cols(rows: GF) -> list:
+    """GF[batch, cols] -> list of cols*8 (batch,) uint32 word columns."""
+    rows = canonicalize(rows)
+    _, cols = rows.shape
+    out = []
+    zero = jnp.zeros_like(rows.lo[:, 0])
+    for c in range(cols):
+        out.extend([rows.lo[:, c], rows.hi[:, c], zero, zero, zero, zero,
+                    zero, zero])
+    return out
+
+
+def _blake2s_cols_tuple(cols: list, nbytes: int):
+    """blake2s over per-row messages given as word columns; returns tuple of
+    8 (batch,) u32 arrays. Static unrolled blocks (cols is a python list)."""
+    batch = cols[0].shape[0]
+    nblocks = max(1, -(-nbytes // 64))
+    zero = jnp.zeros_like(cols[0])
+    while len(cols) < nblocks * 16:
+        cols.append(zero)
+    h = [jnp.broadcast_to(jnp.uint32(H0[i]), (batch,)) for i in range(8)]
+    for b in range(nblocks):
+        final = b == nblocks - 1
+        t = nbytes if final else (b + 1) * 64
+        h = _compress(h, cols[b * 16:(b + 1) * 16], jnp.uint32(t),
+                      jnp.uint32(0xFFFFFFFF) if final else jnp.uint32(0))
+    return tuple(h)
+
+
+def hash_rows_tuple(rows: GF):
+    """Protocol hash_elements per row, digest as a tuple of 8 arrays."""
+    _, cols = rows.shape
+    return _blake2s_cols_tuple(felt_rows_to_word_cols(rows), cols * 32)
+
+
+def merge_level_tuple(digests):
+    """One Merkle level on tuple digests: 8 x (2n,) -> 8 x (n,)."""
+    cols = []
+    for d in digests:
+        cols.append(d[0::2])
+    for d in digests:
+        cols.append(d[1::2])
+    # message = left digest (8 words) || right digest (8 words)
+    msg_cols = [digests[i][0::2] for i in range(8)] + \
+               [digests[i][1::2] for i in range(8)]
+    return _blake2s_cols_tuple(msg_cols, 64)
+
+
+def merkle_root_tuple(leaf_digests):
+    """Reduce tuple leaf digests (8 x (n,)) to the root (8 x (1,))."""
+    d = leaf_digests
+    while d[0].shape[0] > 1:
+        d = merge_level_tuple(d)
+    return d

@@ -82,3 +82,25 @@ def commit_fri(deep_evals: GF, coin, ff: int, max_remainder: int
     alphas.append(coin.draw())  # drawn but unused (matches verifier)
     remainder = [int(v) for v in from_gf(evals)]
     return layers, alphas, remainder, rem_tree
+
+
+def fold_evals_gf(evals: GF, alpha: GF, ff: int,
+                  offset: int = F.DOMAIN_OFFSET) -> GF:
+    """fold_evals with a traced (in-graph) alpha scalar."""
+    import jax.numpy as jnp
+    m = evals.shape[-1]
+    raw = intt(evals)
+    groups = gf_reshape(raw, (m // ff, ff))
+    w = mul(alpha, GF(jnp.uint32(F.inv(offset) & 0xFFFFFFFF),
+                      jnp.uint32(F.inv(offset) >> 32)))
+    # weights[j] = w^j as GF scalars
+    weights = [GF(jnp.uint32(1), jnp.uint32(0))]
+    for _ in range(ff - 1):
+        weights.append(mul(weights[-1], w))
+    wl = jnp.stack([x.lo for x in weights])
+    wh = jnp.stack([x.hi for x in weights])
+    terms = mul(groups, GF(jnp.broadcast_to(wl, groups.shape),
+                           jnp.broadcast_to(wh, groups.shape)))
+    folded = gf_sum(terms, axis=-1)
+    folded = GF(folded.lo.reshape(m // ff), folded.hi.reshape(m // ff))
+    return ntt(folded)

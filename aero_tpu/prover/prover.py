@@ -31,7 +31,7 @@ from ..spec.hashing import hash_elements
 from ..spec.proof import (Context, FriProof, FriProofLayer, OodFrame,
                           ProofOptions, Queries, StarkProof, felts_to_bytes)
 from ..field import (GF, add, sub, mul, mul_scalar, inv, batch_inv, to_gf,
-                     from_gf, gf_full, gf_take, gf_concat, pow_const,
+                     from_gf, gf_full, gf_take, gf_concat, pow_loop,
                      power_series, eval_polys_at, canonicalize)
 from ..ntt import ntt, intt, lde
 from ..merkle import commit_rows, DeviceMerkleTree
@@ -120,7 +120,7 @@ def prove(air: Air, main_trace: GF, pub_inputs) -> StarkProof:
     xp_cache: Dict[int, GF] = {}
     def xp(adj: int) -> GF:
         if adj not in xp_cache:
-            xp_cache[adj] = pow_const(x_dom, adj)
+            xp_cache[adj] = pow_loop(x_dom, adj)
         return xp_cache[adj]
 
     # transition divisor inverse: 1/Zt = (x - g^{n-1}) / (x^n - 1)
