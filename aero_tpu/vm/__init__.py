@@ -1,0 +1,126 @@
+"""Miden-assembly-subset VM: Python binding over the native C++ core.
+
+The executor (aero_tpu/vm/core/vm.cpp) assembles and runs the program,
+emitting the 72-column execution trace directly into a numpy buffer
+(column-major). The reference analog is the forked miden-vm processor
+invoked at aero-sdk/miden-wasm/src/proving_worker.rs:225-234.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import os
+import subprocess
+from typing import List, Sequence, Tuple
+
+import numpy as np
+
+_DIR = os.path.dirname(__file__)
+_SO = os.path.join(_DIR, "core", "libaerovm.so")
+_SRC = os.path.join(_DIR, "core", "vm.cpp")
+
+NUM_COLS = 72
+# column indices (must match vm.cpp)
+COL_CLK = 0
+COL_SEL = 1
+NUM_OPS = 20
+COL_IMM = 21
+COL_STACK = 22
+COL_DEPTH = 38
+COL_OVF = 39
+COL_H0 = 40
+OPS = ["nop", "push", "drop", "dup0", "dup1", "swap", "movup2", "movup3",
+       "movdn2", "movdn3", "add", "sub", "mul", "neg", "eq", "neq", "not",
+       "and", "or", "halt"]
+
+
+def _ensure_built():
+    if (not os.path.exists(_SO)
+            or os.path.getmtime(_SO) < os.path.getmtime(_SRC)):
+        subprocess.run(["g++", "-O2", "-shared", "-fPIC", "-o", _SO, _SRC],
+                       check=True)
+
+
+_lib = None
+
+
+def _load():
+    global _lib
+    if _lib is None:
+        _ensure_built()
+        _lib = ctypes.CDLL(_SO)
+        _lib.vm_execute.restype = ctypes.c_longlong
+        _lib.vm_execute.argtypes = [
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_uint64), ctypes.c_longlong,
+            ctypes.POINTER(ctypes.c_uint64), ctypes.c_longlong,
+            ctypes.POINTER(ctypes.c_uint64)]
+        _lib.vm_last_error.restype = ctypes.c_char_p
+    return _lib
+
+
+class VmError(Exception):
+    pass
+
+
+def execute(source: str, stack_inputs: Sequence[int],
+            max_rows: int = 1 << 22, min_rows: int = 8
+            ) -> Tuple[np.ndarray, List[int]]:
+    """Assemble + execute. stack_inputs are top-first.
+
+    Returns (trace, output_stack): trace uint64[72, n] with n a power of 2,
+    output_stack = final 16 stack slots (top-first)."""
+    lib = _load()
+    inputs = np.asarray(list(stack_inputs), dtype=np.uint64)
+    trace = np.zeros(NUM_COLS * max_rows, dtype=np.uint64)
+    stack_out = np.zeros(16, dtype=np.uint64)
+    n = lib.vm_execute(
+        source.encode(), inputs.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        len(inputs), trace.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        max_rows, stack_out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)))
+    if n < 0:
+        raise VmError(lib.vm_last_error().decode())
+    n = int(n)
+    tr = trace[:NUM_COLS * n].reshape(NUM_COLS, n).copy()
+    if n < min_rows:
+        # extend with halt rows (state frozen, clk advances)
+        ext = np.zeros((NUM_COLS, min_rows), dtype=np.uint64)
+        ext[:, :n] = tr
+        for r in range(n, min_rows):
+            ext[:, r] = ext[:, n - 1]
+            ext[COL_CLK, r] = r
+            ext[COL_SEL:COL_SEL + NUM_OPS, r] = 0
+            ext[COL_SEL + OPS.index("halt"), r] = 1
+        tr = ext
+    return tr, [int(x) for x in stack_out]
+
+
+def program_hash(source: str) -> List[int]:
+    """Program commitment: blake2s-256 of the canonical source tokens,
+    as 4 field elements (u64 LE words reduced mod p).
+
+    The reference uses the miden MAST root (program.hash(), main.rs:35);
+    binding of this hash to the executed trace is a documented round-1 gap
+    (requires the program-ROM bus argument)."""
+    P = (1 << 64) - (1 << 32) + 1
+    canon = " ".join(source.split()).encode()
+    d = hashlib.blake2s(canon).digest()
+    return [int.from_bytes(d[i * 8:(i + 1) * 8], "little") % P
+            for i in range(4)]
+
+
+def fibonacci_source(n_iters: int) -> str:
+    """The fib program in our Miden-assembly subset (reference shape:
+    miden-proof-generator/src/main.rs:55-74)."""
+    return f"""
+    # Computes {n_iters} Fibonacci iterations: (a, b) -> (a+b, a)
+    proc.fib_iter
+        swap dup.1 add
+    end
+    begin
+        repeat.{n_iters}
+            exec.fib_iter
+        end
+    end
+    """
