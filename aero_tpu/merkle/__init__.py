@@ -1,1 +1,2 @@
-from .tree import commit_rows, commit_digests, DeviceMerkleTree
+from .tree import (commit_rows, commit_columns, commit_digests,
+                   DeviceMerkleTree)

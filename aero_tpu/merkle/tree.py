@@ -71,3 +71,19 @@ def commit_digests(leaf_digests: jax.Array) -> DeviceMerkleTree:
 def commit_rows(rows: GF) -> DeviceMerkleTree:
     """Commit to GF[n_leaves, row_width]: device leaf hashing + tree build."""
     return commit_digests(hash_elements_rows(rows))
+
+
+def _use_pallas() -> bool:
+    return jax.default_backend() not in ("cpu",)
+
+
+def commit_columns(cols: GF) -> DeviceMerkleTree:
+    """Commit to column-major GF[row_width, n_leaves] (the prover's native
+    trace-LDE layout). On TPU this runs the Pallas blake2s kernel with the
+    word-major layout — no row transpose at all; on CPU it falls back to
+    the jnp path."""
+    if _use_pallas():
+        from ..hash.blake2s_pallas import hash_columns_t, merkle_levels_t
+        levels = merkle_levels_t(hash_columns_t(cols))
+        return DeviceMerkleTree([np.asarray(jax.device_get(l)) for l in levels])
+    return commit_rows(GF(cols.lo.T, cols.hi.T))

@@ -23,7 +23,7 @@ from typing import List, Tuple
 from ..spec import field as F
 from ..field import GF, from_gf, to_gf, mul, gf_sum, gf_reshape
 from ..ntt import ntt, intt
-from ..merkle import commit_rows, DeviceMerkleTree
+from ..merkle import commit_columns, DeviceMerkleTree
 
 
 def transposed_rows(evals: GF, ff: int) -> GF:
@@ -67,7 +67,9 @@ def commit_fri(deep_evals: GF, coin, ff: int, max_remainder: int
     m = evals.shape[-1]
     while m > max_remainder:
         rows = transposed_rows(evals, ff)
-        tree = commit_rows(rows)
+        # leaf row fp is column fp of evals.reshape(ff, m/ff) — commit in
+        # column-major layout directly (Pallas path needs no transpose)
+        tree = commit_columns(gf_reshape(evals, (ff, m // ff)))
         coin.reseed(tree.root)
         alpha = coin.draw()
         alphas.append(alpha)
@@ -76,8 +78,8 @@ def commit_fri(deep_evals: GF, coin, ff: int, max_remainder: int
         m = evals.shape[-1]
 
     # remainder: committed via the same transposed layout, values sent inline
-    rem_rows = transposed_rows(evals, ff)
-    rem_tree = commit_rows(rem_rows)
+    m = evals.shape[-1]
+    rem_tree = commit_columns(gf_reshape(evals, (ff, m // ff)))
     coin.reseed(rem_tree.root)
     alphas.append(coin.draw())  # drawn but unused (matches verifier)
     remainder = [int(v) for v in from_gf(evals)]

@@ -34,7 +34,7 @@ from ..field import (GF, add, sub, mul, mul_scalar, inv, batch_inv, to_gf,
                      from_gf, gf_full, gf_take, gf_concat, pow_loop,
                      power_series, eval_polys_at, canonicalize)
 from ..ntt import ntt, intt, lde
-from ..merkle import commit_rows, DeviceMerkleTree
+from ..merkle import commit_columns, DeviceMerkleTree
 from ..air.air import Air
 from .fri import commit_fri, FriLayer
 
@@ -52,9 +52,13 @@ def _tile(vals: List[int], m: int) -> GF:
 
 
 def _grind_pow(coin: RandomCoin, grinding_bits: int) -> int:
-    """Find the minimal nonce satisfying the grinding condition (the
-    reference does the same search inside winterfell; a vectorized device
-    grind is a later optimization)."""
+    """Find the minimal nonce satisfying the grinding condition. On TPU the
+    search is a vectorized device kernel (2^16 nonces per launch); the
+    reference does the same search single-threaded inside winterfell."""
+    import jax
+    if jax.default_backend() not in ("cpu",):
+        from ..hash.blake2s_pallas import grind_pow
+        return grind_pow(coin.seed, grinding_bits)
     from ..spec.hashing import merge_with_int
     seed = coin.seed
     nonce = 0
@@ -84,7 +88,7 @@ def prove(air: Air, main_trace: GF, pub_inputs) -> StarkProof:
     # ---- 1+2: main trace polynomials, LDE, commitment ----
     main_polys = intt(main_trace)                       # GF[w, n]
     main_lde = lde(main_polys, log_blowup, offset)      # GF[w, m]
-    main_tree = commit_rows(_columns_to_rows(main_lde))
+    main_tree = commit_columns(main_lde)
     commitments.append(main_tree.root)
     coin.reseed(main_tree.root)
 
@@ -96,7 +100,7 @@ def prove(air: Air, main_trace: GF, pub_inputs) -> StarkProof:
         aux_trace = air.build_aux_trace(main_trace, aux_rand)
         aux_polys = intt(aux_trace)
         aux_lde = lde(aux_polys, log_blowup, offset)
-        aux_tree = commit_rows(_columns_to_rows(aux_lde))
+        aux_tree = commit_columns(aux_lde)
         commitments.append(aux_tree.root)
         coin.reseed(aux_tree.root)
 
@@ -158,7 +162,7 @@ def prove(air: Air, main_trace: GF, pub_inputs) -> StarkProof:
     assert np.all(comp[ce * n:] == 0), "composition degree overflow"
     col_coeffs = to_gf(comp[:ce * n].reshape(n, ce).T)   # col_i = coeffs[ce*k+i]
     constraint_lde = lde(col_coeffs, log_blowup, offset)  # GF[ce, m]
-    constraint_tree = commit_rows(_columns_to_rows(constraint_lde))
+    constraint_tree = commit_columns(constraint_lde)
     commitments.append(constraint_tree.root)
     coin.reseed(constraint_tree.root)
 
