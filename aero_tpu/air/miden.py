@@ -7,54 +7,67 @@ AIR's constraints: its evaluator is stubbed, stark_verifier.cairo:152-159).
 
 The constraint *semantics* are a from-scratch re-design for the aero-tpu VM
 (aero_tpu/vm/core/vm.cpp layout): the forked miden-vm's own AIR is not
-recoverable (empty submodule). Documented round-1 gaps: program-ROM binding
-of the executed ops to the program hash, range checks on the stack depth,
-and the reserved chiplet columns 42-71 (committed as zeros, unconstrained).
+recoverable (empty submodule). Opcodes use a two-level one-hot encoding
+(6 group + 8 member selector columns; op flag = g_i * m_j, degree 2) so the
+32-op instruction set fits the 49-constraint budget — booleanity costs
+6+8 constraints instead of one per op.
 
 Transition constraints (49):
    0      clk' = clk + 1
-   1-20   selector booleanity
-   21     selector one-hot sum
-   22-37  stack slot updates s0'..s15' (selector-weighted per-op updates)
-   38     eq/neq inverse-witness soundness
-   39     depth' = depth
+   1-6    group selector booleanity
+   7-14   member selector booleanity
+   15     group one-hot sum = 1
+   16     member one-hot sum = 1
+   17-32  stack slot updates s0'..s15' (flag-weighted per-op updates)
+   33     inverse-witness soundness (eq/neq/eqz/inv, flag-exclusive merge)
+   34     assert: flag_assert * (s0 - 1) = 0
+   35     boolean input s0 for and/or/not
+   36     boolean input s1 for and/or
+   37     h0 hygiene: h0 = 0 except under eq/neq/eqz/inv
+   38     depth' = depth
+   39     ovf' = ovf (overflow table not implemented — documented gap)
    40-48  aux running products (9), using the 16 aux rand elements
 
 Assertions (7): clk[0]=0, s0[0], s1[0] bound to the input stack,
 s0[n-1], s1[n-1] bound to the output stack, depth[0]=16, aux0[0]=1.
+
+Documented gaps (also flagged in vm.cpp): program-ROM binding of the
+executed ops to the program hash, the stack-overflow table, u32/range
+chiplets, and memory (columns 35-71 are committed as zeros and
+constrained only implicitly by the boundary of the zero polynomial).
 """
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field as dfield
 from typing import List, Optional, Sequence
 
-import numpy as np
 import jax.numpy as jnp
 
 from ..spec import field as F
 from ..spec.proof import PublicInputs
-from ..field import (GF, add, sub, mul, mul_scalar, gf_full, gf_zeros, to_gf,
-                     from_gf)
-from ..vm import (COL_CLK, COL_SEL, COL_IMM, COL_STACK, COL_DEPTH, COL_OVF,
-                  COL_H0, NUM_OPS, OPS)
+from ..field import (GF, add, sub, mul, mul_scalar, gf_full, gf_zeros)
+from ..vm import (COL_CLK, COL_G, COL_M, NUM_GROUPS, NUM_MEMBERS, COL_IMM,
+                  COL_STACK, COL_DEPTH, COL_OVF, COL_H0, NUM_OPS, OPS)
 from .air import Air, Assertion, TransitionDegree
 
 OP = {name: i for i, name in enumerate(OPS)}
 
 # ops that shift the stack window down (new value enters at s0)
-DOWN_OPS = ("push", "dup0", "dup1")
+DOWN_OPS = ("push", "advpush", "dup0", "dup1", "dup2", "dup3", "dup4",
+            "dup5", "dup6", "dup7")
 # ops that shift the stack window up (top consumed/merged)
-UP_OPS = ("drop", "add", "sub", "mul", "eq", "neq", "and", "or")
+UP_OPS = ("drop", "add", "sub", "mul", "eq", "neq", "and", "or", "assert")
 # ops that leave slots j >= 1 unchanged
-STAY_OPS = ("nop", "halt", "neg", "not")
+STAY_OPS = ("nop", "halt", "neg", "not", "inv", "eqz")
 # permutation ops: map j -> source slot (slots not listed stay)
 PERM = {
     "swap": {0: 1, 1: 0},
     "movup2": {0: 2, 1: 0, 2: 1},
     "movup3": {0: 3, 1: 0, 2: 1, 3: 2},
+    "movup4": {0: 4, 1: 0, 2: 1, 3: 2, 4: 3},
     "movdn2": {0: 1, 1: 2, 2: 0},
     "movdn3": {0: 1, 1: 2, 2: 3, 3: 0},
+    "movdn4": {0: 1, 1: 2, 2: 3, 3: 4, 4: 0},
 }
 
 
@@ -66,16 +79,19 @@ class MidenAir(Air):
     @property
     def ce_blowup(self) -> int:
         # fixed at 8 for golden-vector shape compatibility (8 OOD columns),
-        # generous vs the actual max constraint degree (4)
+        # matching the max constraint degree (5 plus divisor headroom)
         return 8
 
     def transition_degrees(self) -> List[TransitionDegree]:
         degs = [TransitionDegree(1)]                      # clk
-        degs += [TransitionDegree(2)] * NUM_OPS           # booleanity
-        degs += [TransitionDegree(1)]                     # one-hot
-        degs += [TransitionDegree(3)] * 16                # stack updates
-        degs += [TransitionDegree(4)]                     # eq/neq witness
-        degs += [TransitionDegree(1)]                     # depth
+        degs += [TransitionDegree(2)] * 14                # booleanity g+m
+        degs += [TransitionDegree(1)] * 2                 # one-hot sums
+        degs += [TransitionDegree(4)] * 16                # stack updates
+        degs += [TransitionDegree(5)]                     # inverse witness
+        degs += [TransitionDegree(3)]                     # assert
+        degs += [TransitionDegree(4)] * 2                 # boolean inputs
+        degs += [TransitionDegree(3)]                     # h0 hygiene
+        degs += [TransitionDegree(1)] * 2                 # depth, ovf
         degs += [TransitionDegree(2)] * 9                 # aux products
         assert len(degs) == 49
         return degs
@@ -111,73 +127,102 @@ class MidenAir(Air):
         def nx(i):
             return main_nxt[i]
 
-        sel = {name: c(COL_SEL + i) for i, name in enumerate(OPS)}
+        g_sel = [c(COL_G + i) for i in range(NUM_GROUPS)]
+        m_sel = [c(COL_M + i) for i in range(NUM_MEMBERS)]
+        flag = {name: mul(g_sel[i // 8], m_sel[i % 8])
+                for i, name in enumerate(OPS)}
         s = [c(COL_STACK + j) for j in range(16)]
         sn = [nx(COL_STACK + j) for j in range(16)]
         imm = c(COL_IMM)
         h0 = c(COL_H0)
 
         out: List[GF] = []
-        # clk
+        # 0: clk
         out.append(sub(nx(COL_CLK), add(c(COL_CLK), one)))
-        # booleanity
-        for name in OPS:
-            out.append(sub(mul(sel[name], sel[name]), sel[name]))
-        # one-hot
-        total = gf_zeros((m,))
-        for name in OPS:
-            total = add(total, sel[name])
-        out.append(sub(total, one))
+        # 1-14: booleanity
+        for sel in g_sel + m_sel:
+            out.append(sub(mul(sel, sel), sel))
+        # 15-16: one-hot sums
+        for sels in (g_sel, m_sel):
+            total = gf_zeros((m,))
+            for sel in sels:
+                total = add(total, sel)
+            out.append(sub(total, one))
 
         # per-op top-of-stack results
         d01 = sub(s[0], s[1])
-        dh = mul(d01, h0)
+        dh = mul(d01, h0)            # 1 iff s0 != s1 (witnessed)
+        zh = mul(s[0], h0)           # 1 iff s0 != 0 (witnessed)
         s0s1 = mul(s[0], s[1])
         top_result = {
             "nop": s[0], "halt": s[0],
             "push": imm, "drop": s[1],
-            "dup0": s[0], "dup1": s[1],
-            "swap": s[1], "movup2": s[2], "movup3": s[3],
-            "movdn2": s[1], "movdn3": s[1],
+            "advpush": sn[0],        # nondeterministic: next value is free
             "add": add(s[0], s[1]), "sub": sub(s[1], s[0]),
             "mul": s0s1, "neg": sub(gf_zeros((m,)), s[0]),
             "eq": sub(one, dh), "neq": dh,
+            "eqz": sub(one, zh), "inv": h0,
             "not": sub(one, s[0]),
             "and": s0s1, "or": sub(add(s[0], s[1]), s0s1),
+            "assert": s[1],
         }
+        for k in range(8):
+            top_result[f"dup{k}"] = s[k]
 
         def source(op: str, j: int):
+            if op in PERM:
+                return s[PERM[op].get(j, j)]
             if j == 0:
                 return top_result[op]
             if op in DOWN_OPS:
                 return s[j - 1]
             if op in UP_OPS:
                 return s[j + 1] if j < 15 else gf_zeros((m,))
-            if op in PERM:
-                return s[PERM[op].get(j, j)]
-            return s[j]  # nop/halt/neg/not
+            return s[j]  # STAY_OPS
 
+        # 17-32: stack updates
         for j in range(16):
             expr = gf_zeros((m,))
             for name in OPS:
-                expr = add(expr, mul(sel[name], source(name, j)))
+                expr = add(expr, mul(flag[name], source(name, j)))
             out.append(sub(sn[j], expr))
 
-        # eq/neq witness soundness: (sel_eq+sel_neq)*(s0-s1)*(1-(s0-s1)h0)=0
-        out.append(mul(mul(add(sel["eq"], sel["neq"]), d01), sub(one, dh)))
-        # depth
+        # 33: inverse-witness soundness (flag-exclusive merge — at most one
+        # flag is 1 per row, enforced by the one-hot constraints):
+        #   eq/neq: (s0-s1) * (1 - (s0-s1)*h0) = 0
+        #   eqz   : s0 * (1 - s0*h0) = 0
+        #   inv   : s0*h0 - 1 = 0
+        w = mul(mul(add(flag["eq"], flag["neq"]), d01), sub(one, dh))
+        w = add(w, mul(mul(flag["eqz"], s[0]), sub(one, zh)))
+        w = add(w, mul(flag["inv"], sub(zh, one)))
+        out.append(w)
+        # 34: assert pops a 1
+        out.append(mul(flag["assert"], sub(s[0], one)))
+        # 35-36: boolean inputs for logic ops
+        logic0 = add(add(flag["and"], flag["or"]), flag["not"])
+        out.append(mul(mul(logic0, s[0]), sub(s[0], one)))
+        logic1 = add(flag["and"], flag["or"])
+        out.append(mul(mul(logic1, s[1]), sub(s[1], one)))
+        # 37: h0 hygiene — zero outside its witnessing ops
+        users = add(add(flag["eq"], flag["neq"]), add(flag["eqz"],
+                                                      flag["inv"]))
+        out.append(mul(sub(one, users), h0))
+        # 38-39: depth, overflow counter
         out.append(sub(nx(COL_DEPTH), c(COL_DEPTH)))
+        out.append(sub(nx(COL_OVF), c(COL_OVF)))
 
-        # aux running products
+        # 40-48: aux running products
         rands = [r if isinstance(r, GF) else gf_full((m,), r)
                  for r in aux_rand]
 
         def bcast(r: GF) -> GF:
-            return GF(jnp.broadcast_to(r.lo, (m,)), jnp.broadcast_to(r.hi, (m,)))
+            return GF(jnp.broadcast_to(r.lo, (m,)),
+                      jnp.broadcast_to(r.hi, (m,)))
 
         g = [bcast(r) if r.shape != (m,) else r for r in rands]
         for k in range(8):
-            factor = add(add(g[2 * k], s[k * 2]), mul(g[2 * k + 1], s[k * 2 + 1]))
+            factor = add(add(g[2 * k], s[k * 2]),
+                         mul(g[2 * k + 1], s[k * 2 + 1]))
             out.append(sub(aux_nxt[k], mul(aux_cur[k], factor)))
         factor8 = add(g[0], mul(g[1], c(COL_CLK)))
         out.append(sub(aux_nxt[8], mul(aux_cur[8], factor8)))
@@ -210,7 +255,8 @@ class MidenAir(Air):
                   jnp.concatenate([onecol.hi, prod.hi[:, :-1]], axis=1))
 
 
-def make_public_inputs(program_hash: List[int], stack_inputs_topfirst: List[int],
+def make_public_inputs(program_hash: List[int],
+                       stack_inputs_topfirst: List[int],
                        output_stack: List[int]) -> PublicInputs:
     """Build golden-encoding public inputs: stack_inputs stored bottom-first,
     outputs as the full 16-slot final stack (top-first), empty overflow."""

@@ -3,7 +3,8 @@
 The executor (aero_tpu/vm/core/vm.cpp) assembles and runs the program,
 emitting the 72-column execution trace directly into a numpy buffer
 (column-major). The reference analog is the forked miden-vm processor
-invoked at aero-sdk/miden-wasm/src/proving_worker.rs:225-234.
+invoked at aero-sdk/miden-wasm/src/proving_worker.rs:225-234; the advice
+tape mirrors ProgramInputs.advice_tape (miden_prover.proto).
 """
 
 from __future__ import annotations
@@ -12,7 +13,7 @@ import ctypes
 import hashlib
 import os
 import subprocess
-from typing import List, Sequence, Tuple
+from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -23,16 +24,39 @@ _SRC = os.path.join(_DIR, "core", "vm.cpp")
 NUM_COLS = 72
 # column indices (must match vm.cpp)
 COL_CLK = 0
-COL_SEL = 1
-NUM_OPS = 20
-COL_IMM = 21
-COL_STACK = 22
-COL_DEPTH = 38
-COL_OVF = 39
-COL_H0 = 40
-OPS = ["nop", "push", "drop", "dup0", "dup1", "swap", "movup2", "movup3",
-       "movdn2", "movdn3", "add", "sub", "mul", "neg", "eq", "neq", "not",
-       "and", "or", "halt"]
+COL_G = 1        # 6 opcode group selectors
+COL_M = 7        # 8 opcode member selectors
+NUM_GROUPS = 6
+NUM_MEMBERS = 8
+COL_IMM = 15
+COL_STACK = 16   # s0..s15
+COL_DEPTH = 32
+COL_OVF = 33
+COL_H0 = 34
+
+# op index = group*8 + member; order must match vm.cpp's enum
+OPS = [
+    # group 0: window-down
+    "push", "advpush", "dup0", "dup1", "dup2", "dup3", "dup4", "dup5",
+    # group 1: window-up
+    "drop", "add", "sub", "mul", "and", "or", "eq", "neq",
+    # group 2: in-place
+    "nop", "halt", "neg", "not", "inv", "eqz", "assert", "swap",
+    # group 3: permutations + high dups
+    "movup2", "movup3", "movup4", "movdn2", "movdn3", "movdn4",
+    "dup6", "dup7",
+]
+NUM_OPS = len(OPS)
+
+
+def set_op_selectors(row: np.ndarray, op_name: str) -> None:
+    """Zero + set the two-level selector columns of a trace row (host-side
+    trace surgery in tests / halt padding)."""
+    idx = OPS.index(op_name)
+    row[COL_G:COL_G + NUM_GROUPS] = 0
+    row[COL_M:COL_M + NUM_MEMBERS] = 0
+    row[COL_G + idx // 8] = 1
+    row[COL_M + idx % 8] = 1
 
 
 def _ensure_built():
@@ -55,6 +79,7 @@ def _load():
             ctypes.c_char_p,
             ctypes.POINTER(ctypes.c_uint64), ctypes.c_longlong,
             ctypes.POINTER(ctypes.c_uint64), ctypes.c_longlong,
+            ctypes.POINTER(ctypes.c_uint64), ctypes.c_longlong,
             ctypes.POINTER(ctypes.c_uint64)]
         _lib.vm_last_error.restype = ctypes.c_char_p
     return _lib
@@ -65,19 +90,24 @@ class VmError(Exception):
 
 
 def execute(source: str, stack_inputs: Sequence[int],
+            advice_tape: Optional[Sequence[int]] = None,
             max_rows: int = 1 << 22, min_rows: int = 8
             ) -> Tuple[np.ndarray, List[int]]:
-    """Assemble + execute. stack_inputs are top-first.
+    """Assemble + execute. stack_inputs are top-first; advice_tape feeds
+    adv.push (nondeterministic inputs, not part of the public statement).
 
     Returns (trace, output_stack): trace uint64[72, n] with n a power of 2,
     output_stack = final 16 stack slots (top-first)."""
     lib = _load()
     inputs = np.asarray(list(stack_inputs), dtype=np.uint64)
+    adv = np.asarray(list(advice_tape or []), dtype=np.uint64)
     trace = np.zeros(NUM_COLS * max_rows, dtype=np.uint64)
     stack_out = np.zeros(16, dtype=np.uint64)
     n = lib.vm_execute(
-        source.encode(), inputs.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
-        len(inputs), trace.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        source.encode(),
+        inputs.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)), len(inputs),
+        adv.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)), len(adv),
+        trace.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
         max_rows, stack_out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)))
     if n < 0:
         raise VmError(lib.vm_last_error().decode())
@@ -90,8 +120,7 @@ def execute(source: str, stack_inputs: Sequence[int],
         for r in range(n, min_rows):
             ext[:, r] = ext[:, n - 1]
             ext[COL_CLK, r] = r
-            ext[COL_SEL:COL_SEL + NUM_OPS, r] = 0
-            ext[COL_SEL + OPS.index("halt"), r] = 1
+            set_op_selectors(ext[:, r], "halt")
         tr = ext
     return tr, [int(x) for x in stack_out]
 
@@ -101,7 +130,7 @@ def program_hash(source: str) -> List[int]:
     as 4 field elements (u64 LE words reduced mod p).
 
     The reference uses the miden MAST root (program.hash(), main.rs:35);
-    binding of this hash to the executed trace is a documented round-1 gap
+    binding of this hash to the executed trace is a documented gap
     (requires the program-ROM bus argument)."""
     P = (1 << 64) - (1 << 32) + 1
     canon = " ".join(source.split()).encode()

@@ -4,20 +4,31 @@
 // vendored; reference call sites: miden_processor::execute at
 // aero-sdk/miden-wasm/src/proving_worker.rs:226, program assembly at
 // miden-proof-generator/src/main.rs:55-74). This is a from-scratch
-// re-design covering the instruction subset those programs use
-// (push/dup/swap/movup/movdn/drop/add/sub/mul/neg/eq/neq/not/and/or,
-// repeat.N unrolling, while.true, proc/exec), producing an execution trace
-// in the aero-tpu Miden-compatible layout:
+// re-design covering the miden v0.3 field/stack instruction families
+// (see OPS below), advice-tape nondeterminism, and structured control
+// flow (repeat.N unrolling, while.true, if.true/else, proc/exec),
+// producing an execution trace in the aero-tpu Miden-compatible layout:
 //
 //   column 0      : clk
-//   columns 1-20  : one-hot op selectors (NOP..HALT)
-//   column 21     : immediate value (push)
-//   columns 22-37 : stack s0..s15 (s0 = top)
-//   column 38     : virtual stack depth
-//   column 39     : overflow bookkeeping counter (round-1: always 0)
-//   columns 40-41 : helper columns (h0 = inverse witness for eq/neq)
-//   columns 42-71 : reserved chiplet columns (zero; unconstrained in
-//                   round 1 - see aero_tpu/air/miden.py)
+//   columns 1-6   : opcode group selectors g0..g5 (one-hot)
+//   columns 7-14  : opcode member selectors m0..m7 (one-hot)
+//                   op = group*8 + member  (48-op capacity, 32 defined)
+//   column 15     : immediate value (push)
+//   columns 16-31 : stack s0..s15 (s0 = top)
+//   column 32     : virtual stack depth
+//   column 33     : overflow bookkeeping counter (always 0 in this round)
+//   column 34     : helper column h0 (inverse witness for eq/neq/eqz/inv)
+//   columns 35-71 : reserved chiplet columns (zero; see aero_tpu/air/miden.py
+//                   for the constraint inventory and documented gaps)
+//
+// The two-level selector encoding keeps the AIR at the reference
+// ProcessorAir's exact proof shape (72 main cols, 49 transition
+// constraints): booleanity costs 6+8 constraints instead of one per op.
+//
+// Immediate-operand forms (add.N, sub.N, mul.N, div.N, eq.N, neq.N) and
+// div desugar in the assembler to primitive sequences; u32.* and mem.*
+// families are NOT implemented (documented gap: they need range-check /
+// memory chiplets and bus arguments).
 //
 // Fixed-window stack semantics: push shifts the window down; a non-zero
 // value shifted out of s15 is an "overflow unsupported" runtime error
@@ -70,31 +81,45 @@ inline u64 fpow(u64 a, u64 e) {
 }
 inline u64 finv(u64 a) { return fpow(a, P - 2); }
 
+// op = group*8 + member. Order must match aero_tpu/vm/__init__.py OPS.
 enum Op : int {
-  NOP = 0, PUSH, DROP, DUP0, DUP1, SWAP, MOVUP2, MOVUP3, MOVDN2, MOVDN3,
-  ADD, SUB, MUL, NEG, EQ, NEQ, NOT, AND, OR, HALT,
+  // group 0: window-down (a value enters at s0)
+  PUSH = 0, ADVPUSH, DUP0, DUP1, DUP2, DUP3, DUP4, DUP5,
+  // group 1: window-up (top consumed/merged)
+  DROP = 8, ADD, SUB, MUL, AND, OR, EQ, NEQ,
+  // group 2: in-place
+  NOP = 16, HALT, NEG, NOT, INV, EQZ, ASSERT, SWAP,
+  // group 3: permutations + high dups
+  MOVUP2 = 24, MOVUP3, MOVUP4, MOVDN2, MOVDN3, MOVDN4, DUP6, DUP7,
   NUM_OPS
 };
 
 constexpr int NUM_COLS = 72;
 constexpr int COL_CLK = 0;
-constexpr int COL_SEL = 1;     // 20 selectors
-constexpr int COL_IMM = 21;
-constexpr int COL_STACK = 22;  // s0..s15
-constexpr int COL_DEPTH = 38;
-constexpr int COL_OVF = 39;
-constexpr int COL_H0 = 40;
+constexpr int COL_G = 1;       // 6 group selectors
+constexpr int COL_M = 7;       // 8 member selectors
+constexpr int COL_IMM = 15;
+constexpr int COL_STACK = 16;  // s0..s15
+constexpr int COL_DEPTH = 32;
+constexpr int COL_OVF = 33;
+constexpr int COL_H0 = 34;
 
 struct Instr {
   Op op;
   u64 imm;
-  // control-flow markers used only during assembly
 };
 
 struct Program {
-  std::vector<Instr> body;           // flattened, no control flow except WHILE
+  std::vector<Instr> body;  // flattened; control markers encoded in imm
   std::string error;
 };
+
+// control-flow markers (carried on NOP instrs, never emitted as rows)
+constexpr u64 WHILE_MARK = 1ULL << 62;
+constexpr u64 ENDWHILE_MARK = (1ULL << 62) + 1;
+constexpr u64 IF_MARK = (1ULL << 62) + 2;
+constexpr u64 ELSE_MARK = (1ULL << 62) + 3;
+constexpr u64 ENDIF_MARK = (1ULL << 62) + 4;
 
 // --- assembler -------------------------------------------------------------
 
@@ -116,13 +141,15 @@ struct Assembler {
     return out;
   }
 
+  // structured block -> flat token list with control markers
   bool parse_block(const std::vector<std::string>& toks, size_t& i,
                    std::vector<std::string>& flat,
-                   const std::string& terminator) {
+                   const std::string& terminator, bool allow_else = false) {
     while (i < toks.size()) {
       const std::string& t = toks[i];
       if (t == terminator) { ++i; return true; }
-      if (t == "repeat" || t.rfind("repeat.", 0) == 0) {
+      if (allow_else && t == "else") return true;  // caller handles
+      if (t.rfind("repeat.", 0) == 0) {
         long n = std::stol(t.substr(7));
         ++i;
         std::vector<std::string> inner;
@@ -136,14 +163,27 @@ struct Assembler {
         flat.push_back("<while>");
         flat.insert(flat.end(), inner.begin(), inner.end());
         flat.push_back("<endwhile>");
+      } else if (t == "if.true") {
+        ++i;
+        std::vector<std::string> then_part;
+        if (!parse_block(toks, i, then_part, "end", /*allow_else=*/true))
+          return false;
+        std::vector<std::string> else_part;
+        if (i < toks.size() && toks[i] == "else") {
+          ++i;
+          if (!parse_block(toks, i, else_part, "end")) return false;
+        }
+        flat.push_back("<if>");
+        flat.insert(flat.end(), then_part.begin(), then_part.end());
+        flat.push_back("<else>");
+        flat.insert(flat.end(), else_part.begin(), else_part.end());
+        flat.push_back("<endif>");
       } else if (t.rfind("exec.", 0) == 0) {
         std::string name = t.substr(5);
         auto it = procs.find(name);
         if (it == procs.end()) { error = "unknown proc " + name; return false; }
         ++i;
-        size_t j = 0;
         std::vector<std::string> sub;
-        // proc bodies are already flat token lists; splice recursively
         if (!parse_block_list(it->second, sub)) return false;
         flat.insert(flat.end(), sub.begin(), sub.end());
       } else {
@@ -161,10 +201,81 @@ struct Assembler {
     return parse_block(toks, i, flat, "");
   }
 
+  // single token -> instruction sequence (desugaring imm forms / div)
+  bool encode(const std::string& t, std::vector<Instr>& out) {
+    auto imm_of = [&](const std::string& s) { return std::stoull(s) % P; };
+    if (t == "<while>") { out.push_back({NOP, WHILE_MARK}); return true; }
+    if (t == "<endwhile>") { out.push_back({NOP, ENDWHILE_MARK}); return true; }
+    if (t == "<if>") { out.push_back({NOP, IF_MARK}); return true; }
+    if (t == "<else>") { out.push_back({NOP, ELSE_MARK}); return true; }
+    if (t == "<endif>") { out.push_back({NOP, ENDIF_MARK}); return true; }
+
+    if (t.rfind("push.", 0) == 0) { out.push_back({PUSH, imm_of(t.substr(5))}); return true; }
+    if (t == "adv.push" || t == "adv_push") { out.push_back({ADVPUSH, 0}); return true; }
+    if (t.rfind("dup.", 0) == 0) {
+      long k = std::stol(t.substr(4));
+      if (k < 0 || k > 7) { error = "dup." + std::to_string(k) + " out of range (0-7)"; return false; }
+      static const Op dups[8] = {DUP0, DUP1, DUP2, DUP3, DUP4, DUP5, DUP6, DUP7};
+      out.push_back({dups[k], 0});
+      return true;
+    }
+    if (t == "dup") { out.push_back({DUP0, 0}); return true; }
+    if (t == "swap" || t == "swap.1") { out.push_back({SWAP, 0}); return true; }
+    if (t == "movup.2") { out.push_back({MOVUP2, 0}); return true; }
+    if (t == "movup.3") { out.push_back({MOVUP3, 0}); return true; }
+    if (t == "movup.4") { out.push_back({MOVUP4, 0}); return true; }
+    if (t == "movdn.2") { out.push_back({MOVDN2, 0}); return true; }
+    if (t == "movdn.3") { out.push_back({MOVDN3, 0}); return true; }
+    if (t == "movdn.4") { out.push_back({MOVDN4, 0}); return true; }
+    if (t == "drop") { out.push_back({DROP, 0}); return true; }
+
+    // field arithmetic (+ immediate desugar: op.N => push.N op)
+    static const std::map<std::string, Op> simple = {
+        {"add", ADD}, {"sub", SUB}, {"mul", MUL}, {"neg", NEG},
+        {"eq", EQ}, {"neq", NEQ}, {"not", NOT}, {"and", AND}, {"or", OR},
+        {"inv", INV}, {"eqz", EQZ}, {"assert", ASSERT},
+        {"noop", NOP}, {"nop", NOP}};
+    auto it = simple.find(t);
+    if (it != simple.end()) { out.push_back({it->second, 0}); return true; }
+
+    size_t dot = t.find('.');
+    if (dot != std::string::npos) {
+      std::string base = t.substr(0, dot);
+      std::string arg = t.substr(dot + 1);
+      bool numeric = !arg.empty() &&
+                     arg.find_first_not_of("0123456789") == std::string::npos;
+      if (numeric) {
+        u64 v = imm_of(arg);
+        if (base == "add" || base == "mul" || base == "eq" || base == "neq") {
+          out.push_back({PUSH, v});
+          out.push_back({simple.at(base), 0});
+          return true;
+        }
+        if (base == "sub") {  // s0 - N: sub computes s1-s0 after push
+          out.push_back({PUSH, v});
+          out.push_back({SUB, 0});
+          return true;
+        }
+        if (base == "div") {  // s0 / N
+          out.push_back({PUSH, v});
+          out.push_back({INV, 0});
+          out.push_back({MUL, 0});
+          return true;
+        }
+      }
+    }
+    if (t == "div") {  // a/b for (s0=b, s1=a): inv then mul
+      out.push_back({INV, 0});
+      out.push_back({MUL, 0});
+      return true;
+    }
+    error = "unknown instruction: " + t;
+    return false;
+  }
+
   Program assemble(const std::string& src) {
     Program prog;
     auto toks = tokenize(src);
-    // collect procs
     std::vector<std::string> main_toks;
     for (size_t i = 0; i < toks.size();) {
       if (toks[i].rfind("proc.", 0) == 0) {
@@ -174,7 +285,7 @@ struct Assembler {
         int depth = 0;
         while (i < toks.size()) {
           if (toks[i] == "end" && depth == 0) { ++i; break; }
-          if (toks[i].rfind("repeat", 0) == 0 || toks[i] == "while.true" ||
+          if (toks[i].rfind("repeat.", 0) == 0 || toks[i] == "while.true" ||
               toks[i] == "if.true")
             ++depth;
           if (toks[i] == "end") --depth;
@@ -187,7 +298,7 @@ struct Assembler {
         int depth = 0;
         while (i < toks.size()) {
           if (toks[i] == "end" && depth == 0) { ++i; break; }
-          if (toks[i].rfind("repeat", 0) == 0 || toks[i] == "while.true" ||
+          if (toks[i].rfind("repeat.", 0) == 0 || toks[i] == "while.true" ||
               toks[i] == "if.true")
             ++depth;
           if (toks[i] == "end") --depth;
@@ -203,32 +314,8 @@ struct Assembler {
       prog.error = error;
       return prog;
     }
-    // encode (control markers encoded with special ops handled by executor)
     for (auto& t : flat) {
-      Instr ins{NOP, 0};
-      if (t == "<while>") { prog.body.push_back({NOP, 1ULL << 62}); continue; }
-      if (t == "<endwhile>") { prog.body.push_back({NOP, 1ULL << 63}); continue; }
-      if (t.rfind("push.", 0) == 0) { ins.op = PUSH; ins.imm = std::stoull(t.substr(5)) % P; }
-      else if (t == "drop") ins.op = DROP;
-      else if (t == "dup" || t == "dup.0") ins.op = DUP0;
-      else if (t == "dup.1") ins.op = DUP1;
-      else if (t == "swap" || t == "swap.1") ins.op = SWAP;
-      else if (t == "movup.2") ins.op = MOVUP2;
-      else if (t == "movup.3") ins.op = MOVUP3;
-      else if (t == "movdn.2") ins.op = MOVDN2;
-      else if (t == "movdn.3") ins.op = MOVDN3;
-      else if (t == "add") ins.op = ADD;
-      else if (t == "sub") ins.op = SUB;
-      else if (t == "mul") ins.op = MUL;
-      else if (t == "neg") ins.op = NEG;
-      else if (t == "eq") ins.op = EQ;
-      else if (t == "neq") ins.op = NEQ;
-      else if (t == "not") ins.op = NOT;
-      else if (t == "and") ins.op = AND;
-      else if (t == "or") ins.op = OR;
-      else if (t == "noop") ins.op = NOP;
-      else { prog.error = "unknown instruction: " + t; return prog; }
-      prog.body.push_back(ins);
+      if (!encode(t, prog.body)) { prog.error = error; return prog; }
     }
     return prog;
   }
@@ -236,16 +323,16 @@ struct Assembler {
 
 // --- executor --------------------------------------------------------------
 
-constexpr u64 WHILE_MARK = 1ULL << 62;
-constexpr u64 ENDWHILE_MARK = 1ULL << 63;
-
 struct Executor {
   std::vector<u64> stack;  // s0 = front
   std::vector<std::vector<u64>> rows;
+  std::vector<u64> advice;
+  size_t advice_pos = 0;
   u64 clk = 0;
   std::string error;
 
-  Executor(const std::vector<u64>& inputs) {
+  Executor(const std::vector<u64>& inputs, const std::vector<u64>& adv)
+      : advice(adv) {
     stack.assign(16, 0);
     // inputs: first element = top of stack (matches the golden vector's
     // stack_inputs ordering: [1, 0] with 1 on top)
@@ -255,7 +342,8 @@ struct Executor {
   void emit_row(Op op, u64 imm, u64 h0) {
     std::vector<u64> row(NUM_COLS, 0);
     row[COL_CLK] = clk;
-    row[COL_SEL + op] = 1;
+    row[COL_G + op / 8] = 1;
+    row[COL_M + op % 8] = 1;
     row[COL_IMM] = imm;
     for (int j = 0; j < 16; ++j) row[COL_STACK + j] = stack[j];
     row[COL_DEPTH] = 16;
@@ -266,7 +354,7 @@ struct Executor {
   }
 
   bool push_shift(u64 v) {
-    if (stack[15] != 0) { error = "stack overflow unsupported (round 1)"; return false; }
+    if (stack[15] != 0) { error = "stack overflow unsupported (overflow table not implemented)"; return false; }
     for (int j = 15; j > 0; --j) stack[j] = stack[j - 1];
     stack[0] = v;
     return true;
@@ -276,67 +364,114 @@ struct Executor {
     stack[15] = 0;
   }
 
+  bool dup_k(int k) { return push_shift(stack[k]); }
+
   bool step(const Instr& ins) {
     u64 h0 = 0;
-    // helper witness for eq/neq: inverse of (s0 - s1) when nonzero
-    if (ins.op == EQ || ins.op == NEQ) {
-      u64 d = fsub(stack[0], stack[1]);
-      h0 = d ? finv(d) : 0;
+    switch (ins.op) {  // helper witnesses (recorded on the row)
+      case EQ: case NEQ: {
+        u64 d = fsub(stack[0], stack[1]);
+        h0 = d ? finv(d) : 0;
+        break;
+      }
+      case EQZ: h0 = stack[0] ? finv(stack[0]) : 0; break;
+      case INV:
+        if (stack[0] == 0) { error = "inv of zero"; return false; }
+        h0 = finv(stack[0]);
+        break;
+      default: break;
     }
     emit_row(ins.op, ins.imm, h0);
     switch (ins.op) {
-      case NOP: break;
+      case NOP: case HALT: break;
       case PUSH: if (!push_shift(ins.imm)) return false; break;
+      case ADVPUSH:
+        if (advice_pos >= advice.size()) { error = "advice tape exhausted"; return false; }
+        if (!push_shift(advice[advice_pos++])) return false;
+        break;
       case DROP: pop_shift(); break;
-      case DUP0: if (!push_shift(stack[0])) return false; break;
-      case DUP1: if (!push_shift(stack[1])) return false; break;
+      case DUP0: case DUP1: case DUP2: case DUP3:
+      case DUP4: case DUP5:
+        if (!dup_k(ins.op - DUP0)) return false;
+        break;
+      case DUP6: if (!dup_k(6)) return false; break;
+      case DUP7: if (!dup_k(7)) return false; break;
       case SWAP: std::swap(stack[0], stack[1]); break;
       case MOVUP2: { u64 v = stack[2]; stack[2] = stack[1]; stack[1] = stack[0]; stack[0] = v; break; }
       case MOVUP3: { u64 v = stack[3]; stack[3] = stack[2]; stack[2] = stack[1]; stack[1] = stack[0]; stack[0] = v; break; }
+      case MOVUP4: { u64 v = stack[4]; stack[4] = stack[3]; stack[3] = stack[2]; stack[2] = stack[1]; stack[1] = stack[0]; stack[0] = v; break; }
       case MOVDN2: { u64 v = stack[0]; stack[0] = stack[1]; stack[1] = stack[2]; stack[2] = v; break; }
       case MOVDN3: { u64 v = stack[0]; stack[0] = stack[1]; stack[1] = stack[2]; stack[2] = stack[3]; stack[3] = v; break; }
+      case MOVDN4: { u64 v = stack[0]; stack[0] = stack[1]; stack[1] = stack[2]; stack[2] = stack[3]; stack[3] = stack[4]; stack[4] = v; break; }
       case ADD: { u64 v = fadd(stack[0], stack[1]); pop_shift(); stack[0] = v; break; }
       case SUB: { u64 v = fsub(stack[1], stack[0]); pop_shift(); stack[0] = v; break; }
       case MUL: { u64 v = fmul(stack[0], stack[1]); pop_shift(); stack[0] = v; break; }
       case NEG: stack[0] = stack[0] ? P - stack[0] : 0; break;
+      case INV: stack[0] = h0; break;
       case EQ: { u64 v = stack[0] == stack[1] ? 1 : 0; pop_shift(); stack[0] = v; break; }
       case NEQ: { u64 v = stack[0] != stack[1] ? 1 : 0; pop_shift(); stack[0] = v; break; }
-      case NOT: stack[0] = fsub(1, stack[0]); break;
-      case AND: { u64 v = fmul(stack[0], stack[1]); pop_shift(); stack[0] = v; break; }
-      case OR: { u64 v = fsub(fadd(stack[0], stack[1]), fmul(stack[0], stack[1])); pop_shift(); stack[0] = v; break; }
-      case HALT: break;
+      case EQZ: stack[0] = stack[0] == 0 ? 1 : 0; break;
+      case NOT:
+        if (stack[0] > 1) { error = "not on non-boolean"; return false; }
+        stack[0] = 1 - stack[0];
+        break;
+      case AND:
+        if (stack[0] > 1 || stack[1] > 1) { error = "and on non-boolean"; return false; }
+        { u64 v = fmul(stack[0], stack[1]); pop_shift(); stack[0] = v; }
+        break;
+      case OR:
+        if (stack[0] > 1 || stack[1] > 1) { error = "or on non-boolean"; return false; }
+        { u64 v = fsub(fadd(stack[0], stack[1]), fmul(stack[0], stack[1])); pop_shift(); stack[0] = v; }
+        break;
+      case ASSERT:
+        if (stack[0] != 1) { error = "assertion failed (top != 1)"; return false; }
+        pop_shift();
+        break;
       default: error = "bad op"; return false;
     }
     return true;
   }
 
+  // consume a control-flow condition: emitted as a DROP row so the
+  // transition constraints hold
+  u64 consume_condition() {
+    u64 cond = stack[0];
+    emit_row(DROP, 0, 0);
+    pop_shift();
+    return cond;
+  }
+
   bool run(const std::vector<Instr>& body, u64 max_steps) {
     size_t pc = 0;
     std::vector<size_t> loop_starts;
+    auto skip_to = [&](size_t& p, u64 open, u64 close, u64 also_stop) -> bool {
+      // advance p past matching close (or stop AT also_stop at depth 0)
+      int depth = 0;
+      ++p;
+      while (p < body.size()) {
+        u64 im = body[p].op == NOP ? body[p].imm : 0;
+        if (im == open) ++depth;
+        else if (im == close) {
+          if (depth == 0) return true;
+          --depth;
+        } else if (also_stop && im == also_stop && depth == 0) {
+          return true;
+        }
+        ++p;
+      }
+      return false;
+    };
     while (pc < body.size()) {
       if (clk > max_steps) { error = "max steps exceeded"; return false; }
       const Instr& ins = body[pc];
-      if (ins.op == NOP && ins.imm == WHILE_MARK) {
-        // while.true: consumes the condition from the stack top; emitted as
-        // a DROP row so the transition constraints hold
-        u64 cond = stack[0];
-        emit_row(DROP, 0, 0);
-        pop_shift();
+      u64 mark = (ins.op == NOP && ins.imm >= WHILE_MARK) ? ins.imm : 0;
+      if (mark == WHILE_MARK) {
+        u64 cond = consume_condition();
         if (cond == 1) {
           loop_starts.push_back(pc);
           ++pc;
         } else if (cond == 0) {
-          // skip to matching endwhile
-          int depth = 0;
-          ++pc;
-          while (pc < body.size()) {
-            if (body[pc].op == NOP && body[pc].imm == WHILE_MARK) ++depth;
-            if (body[pc].op == NOP && body[pc].imm == ENDWHILE_MARK) {
-              if (depth == 0) break;
-              --depth;
-            }
-            ++pc;
-          }
+          if (!skip_to(pc, WHILE_MARK, ENDWHILE_MARK, 0)) { error = "missing endwhile"; return false; }
           ++pc;
         } else {
           error = "while condition not boolean";
@@ -344,11 +479,31 @@ struct Executor {
         }
         continue;
       }
-      if (ins.op == NOP && ins.imm == ENDWHILE_MARK) {
-        pc = loop_starts.back();  // re-test condition
+      if (mark == ENDWHILE_MARK) {
+        pc = loop_starts.back();
         loop_starts.pop_back();
         continue;
       }
+      if (mark == IF_MARK) {
+        u64 cond = consume_condition();
+        if (cond == 1) {
+          ++pc;  // run then-branch (up to ELSE_MARK)
+        } else if (cond == 0) {
+          if (!skip_to(pc, IF_MARK, ELSE_MARK, 0)) { error = "missing else marker"; return false; }
+          ++pc;  // run else-branch
+        } else {
+          error = "if condition not boolean";
+          return false;
+        }
+        continue;
+      }
+      if (mark == ELSE_MARK) {
+        // finished then-branch: skip the else-branch
+        if (!skip_to(pc, IF_MARK, ENDIF_MARK, 0)) { error = "missing endif"; return false; }
+        ++pc;
+        continue;
+      }
+      if (mark == ENDIF_MARK) { ++pc; continue; }
       if (!step(ins)) return false;
       ++pc;
     }
@@ -362,18 +517,21 @@ std::string g_error;
 
 extern "C" {
 
-// Executes `src` with `inputs` (top-first). Writes the trace column-major
-// (col * n_rows + row) into `trace_out` (caller-allocated, 72 * max_rows),
-// the final 16-slot stack into `stack_out`. Rows are padded to the next
-// power of two (>= 8) with HALT rows repeating the final state.
+// Executes `src` with `inputs` (top-first) and the nondeterministic
+// `advice` tape. Writes the trace column-major (col * n_rows + row) into
+// `trace_out` (caller-allocated, 72 * max_rows), the final 16-slot stack
+// into `stack_out`. Rows are padded to the next power of two (>= 8) with
+// HALT rows repeating the final state.
 // Returns the padded row count, or -1 on error (message via vm_last_error).
 long long vm_execute(const char* src, const u64* inputs, long long n_inputs,
+                     const u64* advice, long long n_advice,
                      u64* trace_out, long long max_rows, u64* stack_out) {
   Assembler as;
   Program prog = as.assemble(src);
   if (!prog.error.empty()) { g_error = prog.error; return -1; }
 
-  Executor ex(std::vector<u64>(inputs, inputs + n_inputs));
+  Executor ex(std::vector<u64>(inputs, inputs + n_inputs),
+              std::vector<u64>(advice, advice + n_advice));
   if (!ex.run(prog.body, (u64)max_rows - 1)) { g_error = ex.error; return -1; }
 
   // final HALT row

@@ -10,7 +10,14 @@ The reference publishes no numbers (BASELINE.md); vs_baseline is the ratio
 against a nominal 1e8 butterflies/s single-core CPU rate typical of
 winterfell-class provers.
 
-Run with --all for per-kernel detail lines (hashing, field mul, e2e proof).
+Timing method: the op is applied K times inside ONE jit dispatch
+(lax.fori_loop) and synced with a host fetch — through the axon relay
+`block_until_ready` returns early and each dispatch carries a ~30 ms sync
+floor, so naive per-call timing both under- and over-counts (see
+docs/PERF_NOTES.md).
+
+Run with --all for per-kernel detail lines (hashing incl. the Pallas
+kernel, field mul, Merkle commit, e2e fib proof).
 """
 
 from __future__ import annotations
@@ -34,6 +41,7 @@ def _sync(y):
 
 
 def _bench(fn, *args, warmup=2, iters=5):
+    """Per-dispatch timing (for ops big enough to dwarf the sync floor)."""
     for _ in range(warmup):
         _sync(fn(*args))
     times = []
@@ -44,9 +52,26 @@ def _bench(fn, *args, warmup=2, iters=5):
     return min(times)
 
 
-def bench_ntt(log_n=18, cols=8, log_blowup=3):
+def _bench_loop(fn, x, K=8, iters=3):
+    """Amortized timing: apply fn K times sequentially inside one jit."""
     import jax
-    from aero_tpu.field import to_gf
+
+    @jax.jit
+    def rep(v):
+        return jax.lax.fori_loop(0, K, lambda i, w: fn(w), v)
+
+    _sync(rep(x))
+    _sync(rep(x))
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        _sync(rep(x))
+        times.append(time.perf_counter() - t0)
+    return min(times) / K
+
+
+def bench_ntt(log_n=18, cols=8, log_blowup=3):
+    from aero_tpu.field import to_gf, GF
     from aero_tpu.ntt import intt, lde
 
     n = 1 << log_n
@@ -56,38 +81,74 @@ def bench_ntt(log_n=18, cols=8, log_blowup=3):
                                size=(cols, n), dtype=np.uint64))
 
     def pipeline(x):
-        return lde(intt(x), log_blowup)
+        # keep shape fixed for the fori_loop carry: fold the LDE back down
+        y = lde(intt(x), log_blowup)
+        return GF(y.lo[..., :n], y.hi[..., :n])
 
-    dt = _bench(pipeline, evals)
+    dt = _bench_loop(pipeline, evals, K=4)
     butterflies = cols * (n // 2 * log_n + m // 2 * (log_n + log_blowup))
     return butterflies / dt, dt
 
 
-def bench_hash(log_leaves=15, row_width=8):
-    import jax
+def bench_hash(log_leaves=20, row_width=72):
+    """Pallas leaf hashing at the BASELINE 2^20-leaf workload."""
     from aero_tpu.field import to_gf
-    from aero_tpu.hash import hash_elements_rows
+    from aero_tpu.hash.blake2s_pallas import hash_columns_t
 
     n = 1 << log_leaves
     rng = np.random.default_rng(1)
-    rows = to_gf(rng.integers(0, (1 << 64) - (1 << 32) + 1,
-                              size=(n, row_width), dtype=np.uint64))
-    dt = _bench(hash_elements_rows, rows)
+    cols = to_gf(rng.integers(0, (1 << 64) - (1 << 32) + 1,
+                              size=(row_width, n), dtype=np.uint64))
+    dt = _bench(hash_columns_t, cols, warmup=1, iters=3)
     return n / dt, dt
 
 
-def bench_mul(log_n=22):
+def bench_merkle(log_leaves=20, row_width=72):
+    """Full commit: leaf hashing + all tree levels to the root."""
+    from aero_tpu.field import to_gf
+    from aero_tpu.hash.blake2s_pallas import hash_columns_t, merkle_levels_t
+
+    n = 1 << log_leaves
+    rng = np.random.default_rng(1)
+    cols = to_gf(rng.integers(0, (1 << 64) - (1 << 32) + 1,
+                              size=(row_width, n), dtype=np.uint64))
+
+    def commit(c):
+        return merkle_levels_t(hash_columns_t(c))[-1]
+
+    dt = _bench(commit, cols, warmup=1, iters=3)
+    return n / dt, dt
+
+
+def bench_mul(log_n=21):
     import jax
     from aero_tpu.field import to_gf, mul
 
     n = 1 << log_n
     rng = np.random.default_rng(2)
-    a = to_gf(rng.integers(0, (1 << 64) - (1 << 32) + 1, size=n, dtype=np.uint64))
-    b = to_gf(rng.integers(0, (1 << 64) - (1 << 32) + 1, size=n, dtype=np.uint64))
-    import jax
-    jmul = jax.jit(mul)
-    dt = _bench(jmul, a, b)
+    a = to_gf(rng.integers(0, (1 << 64) - (1 << 32) + 1, size=n,
+                           dtype=np.uint64))
+    dt = _bench_loop(lambda v: mul(v, v), a, K=16)
     return n / dt, dt
+
+
+def bench_proof(n_steps=1 << 10):
+    """End-to-end fib proof wall clock at the golden parameters
+    (2^10 trace, 27 queries, blowup 8, 16-bit grinding)."""
+    from aero_tpu.air.fib import (FibAir, FibPublicInputs, build_fib_trace,
+                                  fib_result)
+    from aero_tpu.spec.proof import ProofOptions
+    from aero_tpu.prover.prover import prove
+
+    pub = FibPublicInputs(result=fib_result(n_steps), n_steps=n_steps)
+    opts = ProofOptions(num_queries=27, blowup_factor=8, grinding_factor=16)
+    air = FibAir(n_steps, pub, opts)
+    trace = build_fib_trace(n_steps)
+    prove(air, trace, pub)          # warm the compile caches
+    t0 = time.perf_counter()
+    proof = prove(air, trace, pub)
+    dt = time.perf_counter() - t0
+    return dt, len(proof.serialize())
 
 
 def main():
@@ -102,13 +163,24 @@ def main():
     print(json.dumps(out))
     if "--all" in sys.argv:
         hrate, hdt = bench_hash()
-        print(json.dumps({"metric": "blake2s_leaf_hashes_per_s",
+        print(json.dumps({"metric": "blake2s_leaf_hashes_per_s_2e20x72",
                           "value": round(hrate, 1), "unit": "hashes/s",
                           "vs_baseline": None}))
-        mrate, mdt = bench_mul()
-        print(json.dumps({"metric": "goldilocks_mul_per_s",
-                          "value": round(mrate, 1), "unit": "muls/s",
+        mrate, mdt = bench_merkle()
+        print(json.dumps({"metric": "merkle_commit_2e20_leaves_s",
+                          "value": round(mdt, 4), "unit": "s",
                           "vs_baseline": None}))
+        mulrate, _ = bench_mul()
+        print(json.dumps({"metric": "goldilocks_mul_per_s",
+                          "value": round(mulrate, 1), "unit": "muls/s",
+                          "vs_baseline": None}))
+        pdt, psize = bench_proof()
+        print(json.dumps({"metric": "fib_2e10_proof_wall_clock",
+                          "value": round(pdt, 3), "unit": "s",
+                          "vs_baseline": None}))
+        print(json.dumps({"metric": "fib_2e10_proof_size",
+                          "value": psize, "unit": "bytes",
+                          "vs_baseline": round(psize / 50303, 3)}))
 
 
 if __name__ == "__main__":

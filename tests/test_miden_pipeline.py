@@ -45,11 +45,13 @@ class TestVm:
             execute("begin frobnicate end", [])
 
     def test_trace_shape_and_clk(self):
+        from aero_tpu.vm import COL_G, COL_M, NUM_GROUPS, NUM_MEMBERS
         tr, _ = execute(fibonacci_source(5), [0, 1], min_rows=32)
         assert tr.shape == (72, 32)
         assert np.array_equal(tr[0], np.arange(32, dtype=np.uint64))
-        # one-hot selectors
-        assert np.all(tr[1:21].sum(axis=0) == 1)
+        # two-level one-hot selectors
+        assert np.all(tr[COL_G:COL_G + NUM_GROUPS].sum(axis=0) == 1)
+        assert np.all(tr[COL_M:COL_M + NUM_MEMBERS].sum(axis=0) == 1)
 
 
 @pytest.fixture(scope="module")
