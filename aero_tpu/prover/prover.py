@@ -11,8 +11,15 @@ aero-sdk/miden-wasm/src/proving_worker.rs:124-352):
  5. composition polynomial -> columns -> LDE -> commit (device)
  6. OOD frames at z, z*g (device polynomial evaluation)
  7. DEEP composition over the LDE domain (device)
- 8. FRI commit/fold (device) + PoW grinding (host)
+ 8. FRI commit/fold (device) + PoW grinding (device kernel on TPU)
  9. query openings + winterfell-compatible serialization (host)
+
+The pipeline is explicitly STAGED — each stage reads/writes a ProverState
+that can be checkpointed to disk and resumed (prove_resumable), the seam
+the reference exposes through its fork APIs (commit_to_trace_and_validate /
+prove_after_constraint_eval, proving_worker.rs:323-352) but never persists.
+Every stage runs under a tracing span mirroring the reference's console
+timers (proving_worker.rs:125-196).
 
 The proof it emits verifies under aero_tpu.spec.verifier with the AIR's OOD
 constraint check enabled (the check the reference's Cairo verifier stubs).
@@ -20,7 +27,8 @@ constraint check enabled (the check the reference's Cairo verifier stubs).
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional
+from dataclasses import dataclass, field as dfield
+from typing import Any, Dict, List, Optional
 
 import numpy as np
 import jax.numpy as jnp
@@ -36,6 +44,7 @@ from ..field import (GF, add, sub, mul, mul_scalar, inv, batch_inv, to_gf,
 from ..ntt import ntt, intt, lde
 from ..merkle import commit_columns, DeviceMerkleTree
 from ..air.air import Air
+from ..utils import span
 from .fri import commit_fri, FriLayer
 
 
@@ -70,58 +79,127 @@ def _grind_pow(coin: RandomCoin, grinding_bits: int) -> int:
         nonce += 1
 
 
-def prove(air: Air, main_trace: GF, pub_inputs) -> StarkProof:
+# ------------------------------------------------------------- prover state
+
+STAGES = ("trace_commit", "aux_commit", "constraint_eval", "ood_frames",
+          "deep_composition", "fri_pow", "queries_serialize")
+
+
+@dataclass
+class ProverState:
+    """Everything a stage needs from its predecessors. Checkpointable:
+    to_host()/from_host() swap the device (GF) members to numpy and back."""
+    pub_inputs: Any
+    stage: int = 0                      # number of completed stages
+    coin: Optional[RandomCoin] = None
+    commitments: List[bytes] = dfield(default_factory=list)
+    main_trace: Optional[GF] = None
+    main_polys: Optional[GF] = None
+    main_lde: Optional[GF] = None
+    main_tree: Optional[DeviceMerkleTree] = None
+    aux_rand: List[int] = dfield(default_factory=list)
+    aux_polys: Optional[GF] = None
+    aux_lde: Optional[GF] = None
+    aux_tree: Optional[DeviceMerkleTree] = None
+    col_coeffs: Optional[GF] = None
+    constraint_lde: Optional[GF] = None
+    constraint_tree: Optional[DeviceMerkleTree] = None
+    z: int = 0
+    cur_row: List[int] = dfield(default_factory=list)
+    nxt_row: List[int] = dfield(default_factory=list)
+    ood_evals: List[int] = dfield(default_factory=list)
+    deep: Optional[GF] = None
+    fri_layers: Optional[List[FriLayer]] = None
+    fri_remainder: List[int] = dfield(default_factory=list)
+    rem_tree: Optional[DeviceMerkleTree] = None
+    pow_nonce: int = 0
+    positions: List[int] = dfield(default_factory=list)
+    proof: Optional[StarkProof] = None
+
+    _GF_FIELDS = ("main_trace", "main_polys", "main_lde", "aux_polys",
+                  "aux_lde", "col_coeffs", "constraint_lde", "deep")
+
+    def to_host(self) -> "ProverState":
+        for name in self._GF_FIELDS:
+            v = getattr(self, name)
+            if isinstance(v, GF):
+                setattr(self, name, ("GF", np.asarray(v.lo), np.asarray(v.hi)))
+        if self.fri_layers is not None:
+            self.fri_layers = [
+                ("FL", np.asarray(l.evals.lo), np.asarray(l.evals.hi),
+                 l.tree, np.asarray(l.rows.lo), np.asarray(l.rows.hi))
+                for l in self.fri_layers]
+        return self
+
+    def to_device(self) -> "ProverState":
+        for name in self._GF_FIELDS:
+            v = getattr(self, name)
+            if isinstance(v, tuple) and v and v[0] == "GF":
+                setattr(self, name, GF(jnp.asarray(v[1]), jnp.asarray(v[2])))
+        if self.fri_layers is not None:
+            self.fri_layers = [
+                FriLayer(GF(jnp.asarray(l[1]), jnp.asarray(l[2])), l[3],
+                         GF(jnp.asarray(l[4]), jnp.asarray(l[5])))
+                if isinstance(l, tuple) else l
+                for l in self.fri_layers]
+        return self
+
+
+# ------------------------------------------------------------------ stages
+
+def stage_trace_commit(air: Air, st: ProverState) -> None:
+    log_blowup = air.options.blowup_factor.bit_length() - 1
+    st.coin = RandomCoin(hash_elements(st.pub_inputs.elements()))
+    st.main_polys = intt(st.main_trace)                       # GF[w, n]
+    st.main_lde = lde(st.main_polys, log_blowup, F.DOMAIN_OFFSET)
+    st.main_tree = commit_columns(st.main_lde)
+    st.commitments.append(st.main_tree.root)
+    st.coin.reseed(st.main_tree.root)
+
+
+def stage_aux_commit(air: Air, st: ProverState) -> None:
+    if not air.aux_width:
+        return
+    log_blowup = air.options.blowup_factor.bit_length() - 1
+    st.aux_rand = st.coin.draw_elements(air.aux_rands)
+    aux_trace = air.build_aux_trace(st.main_trace, st.aux_rand)
+    st.aux_polys = intt(aux_trace)
+    st.aux_lde = lde(st.aux_polys, log_blowup, F.DOMAIN_OFFSET)
+    st.aux_tree = commit_columns(st.aux_lde)
+    st.commitments.append(st.aux_tree.root)
+    st.coin.reseed(st.aux_tree.root)
+
+
+def stage_constraint_eval(air: Air, st: ProverState) -> None:
     n = air.trace_length
     opts = air.options
     blowup = opts.blowup_factor
     log_blowup = blowup.bit_length() - 1
-    m = n * blowup                      # LDE domain size
-    ce = air.ce_blowup                  # composition columns
+    m = n * blowup
+    ce = air.ce_blowup
     offset = F.DOMAIN_OFFSET
     g_trace = air.trace_generator
     w_lde = air.lde_generator
-    main_w, aux_w = air.main_width, air.aux_width
 
-    coin = RandomCoin(hash_elements(pub_inputs.elements()))
-    commitments: List[bytes] = []
+    cc_transition = [st.coin.draw_pair()
+                     for _ in range(air.num_transition_constraints)]
+    cc_boundary = [st.coin.draw_pair() for _ in range(air.num_assertions)]
 
-    # ---- 1+2: main trace polynomials, LDE, commitment ----
-    main_polys = intt(main_trace)                       # GF[w, n]
-    main_lde = lde(main_polys, log_blowup, offset)      # GF[w, m]
-    main_tree = commit_columns(main_lde)
-    commitments.append(main_tree.root)
-    coin.reseed(main_tree.root)
-
-    # ---- 3: auxiliary segment ----
-    aux_rand: List[int] = []
-    aux_polys = aux_lde = aux_tree = None
-    if aux_w:
-        aux_rand = coin.draw_elements(air.aux_rands)
-        aux_trace = air.build_aux_trace(main_trace, aux_rand)
-        aux_polys = intt(aux_trace)
-        aux_lde = lde(aux_polys, log_blowup, offset)
-        aux_tree = commit_columns(aux_lde)
-        commitments.append(aux_tree.root)
-        coin.reseed(aux_tree.root)
-
-    cc_transition = [coin.draw_pair() for _ in range(air.num_transition_constraints)]
-    cc_boundary = [coin.draw_pair() for _ in range(air.num_assertions)]
-
-    # ---- 4: constraint evaluation over the LDE domain ----
     shift = m // n   # frame "next" offset in domain positions
+
     def rolled(x: GF) -> GF:
-        return GF(jnp.roll(x.lo, -shift, axis=-1), jnp.roll(x.hi, -shift, axis=-1))
+        return GF(jnp.roll(x.lo, -shift, axis=-1),
+                  jnp.roll(x.hi, -shift, axis=-1))
 
     t_evals = air.evaluate_transitions(
-        main_lde, rolled(main_lde),
-        aux_lde, rolled(aux_lde) if aux_lde is not None else None,
-        aux_rand)
+        st.main_lde, rolled(st.main_lde),
+        st.aux_lde, rolled(st.aux_lde) if st.aux_lde is not None else None,
+        st.aux_rand)
 
     # x over the LDE domain and x^adj per distinct adjustment
     x_dom = power_series(w_lde, m, offset)
-    adjT = air.transition_adjustments()
-    adjB = air.boundary_adjustments()
     xp_cache: Dict[int, GF] = {}
+
     def xp(adj: int) -> GF:
         if adj not in xp_cache:
             xp_cache[adj] = pow_loop(x_dom, adj)
@@ -132,10 +210,12 @@ def prove(air: Air, main_trace: GF, pub_inputs) -> StarkProof:
     on = F.exp(offset, n)
     zt_vals = [F.sub(F.mul(on, F.exp(wn, t)), 1) for t in range(blowup)]
     zt_inv_tiled = _tile(F.batch_inv(zt_vals), m)
-    zt_inv = mul(sub(x_dom, gf_full((m,), F.exp(g_trace, n - 1))), zt_inv_tiled)
+    zt_inv = mul(sub(x_dom, gf_full((m,), F.exp(g_trace, n - 1))),
+                 zt_inv_tiled)
 
     merged = gf_full((m,), 0)
-    for ev, (a, b), adj in zip(t_evals, cc_transition, adjT):
+    for ev, (a, b), adj in zip(t_evals, cc_transition,
+                               air.transition_adjustments()):
         k = add(gf_full((m,), a), mul_scalar(xp(adj), b))
         merged = add(merged, mul(mul(k, ev), zt_inv))
 
@@ -147,103 +227,132 @@ def prove(air: Air, main_trace: GF, pub_inputs) -> StarkProof:
     denom_inv = batch_inv(denom, axis=-1)
     point_row = {p: i for i, p in enumerate(points)}
 
-    all_lde = main_lde if not aux_w else gf_concat([main_lde, aux_lde], axis=0)
-    for asrt, (a, b), adj in zip(assertions, cc_boundary, adjB):
+    all_lde = st.main_lde if not air.aux_width else gf_concat(
+        [st.main_lde, st.aux_lde], axis=0)
+    for asrt, (a, b), adj in zip(assertions, cc_boundary,
+                                 air.boundary_adjustments()):
         col = all_lde[asrt.column]
         ev = sub(col, gf_full((m,), asrt.value))
         dinv = denom_inv[point_row[F.exp(g_trace, asrt.step)]]
         k = add(gf_full((m,), a), mul_scalar(xp(adj), b))
         merged = add(merged, mul(mul(k, ev), dinv))
 
-    # ---- 5: composition polynomial -> ce columns -> LDE -> commit ----
+    # composition polynomial -> ce columns -> LDE -> commit
     # iNTT over the coset: divide out offset powers
     c_coeffs = mul(intt(merged), power_series(F.inv(offset), m))
     comp = from_gf(c_coeffs)
     assert np.all(comp[ce * n:] == 0), "composition degree overflow"
-    col_coeffs = to_gf(comp[:ce * n].reshape(n, ce).T)   # col_i = coeffs[ce*k+i]
-    constraint_lde = lde(col_coeffs, log_blowup, offset)  # GF[ce, m]
-    constraint_tree = commit_columns(constraint_lde)
-    commitments.append(constraint_tree.root)
-    coin.reseed(constraint_tree.root)
+    st.col_coeffs = to_gf(comp[:ce * n].reshape(n, ce).T)
+    st.constraint_lde = lde(st.col_coeffs, log_blowup, offset)  # GF[ce, m]
+    st.constraint_tree = commit_columns(st.constraint_lde)
+    st.commitments.append(st.constraint_tree.root)
+    st.coin.reseed(st.constraint_tree.root)
 
-    # ---- 6: OOD frames ----
-    z = coin.draw()
-    zg = F.mul(z, g_trace)
-    ood_main_cur = eval_polys_at(main_polys, z).tolist()
-    ood_main_nxt = eval_polys_at(main_polys, zg).tolist()
-    if aux_w:
-        ood_aux_cur = eval_polys_at(aux_polys, z).tolist()
-        ood_aux_nxt = eval_polys_at(aux_polys, zg).tolist()
+
+def stage_ood_frames(air: Air, st: ProverState) -> None:
+    ce = air.ce_blowup
+    st.z = st.coin.draw()
+    zg = F.mul(st.z, air.trace_generator)
+    ood_main_cur = eval_polys_at(st.main_polys, st.z).tolist()
+    ood_main_nxt = eval_polys_at(st.main_polys, zg).tolist()
+    if air.aux_width:
+        ood_aux_cur = eval_polys_at(st.aux_polys, st.z).tolist()
+        ood_aux_nxt = eval_polys_at(st.aux_polys, zg).tolist()
     else:
         ood_aux_cur = ood_aux_nxt = []
-    cur_row = ood_main_cur + ood_aux_cur
-    nxt_row = ood_main_nxt + ood_aux_nxt
-    coin.reseed(hash_elements(cur_row))
-    coin.reseed(hash_elements(nxt_row))
+    st.cur_row = ood_main_cur + ood_aux_cur
+    st.nxt_row = ood_main_nxt + ood_aux_nxt
+    st.coin.reseed(hash_elements(st.cur_row))
+    st.coin.reseed(hash_elements(st.nxt_row))
 
-    z_m = F.exp(z, ce)
-    ood_evals = eval_polys_at(col_coeffs, z_m).tolist()
-    coin.reseed(hash_elements(ood_evals))
+    z_m = F.exp(st.z, ce)
+    st.ood_evals = eval_polys_at(st.col_coeffs, z_m).tolist()
+    st.coin.reseed(hash_elements(st.ood_evals))
 
-    # ---- 7: DEEP composition over the LDE domain ----
-    n_cols = main_w + aux_w
-    deep_trace = [coin.draw_elements(3) for _ in range(n_cols)]
-    deep_constraints = coin.draw_elements(ce)
-    lam, mu = coin.draw_pair()
 
-    dz = sub(x_dom, gf_full((m,), z))
+def stage_deep_composition(air: Air, st: ProverState) -> None:
+    n = air.trace_length
+    m = n * air.options.blowup_factor
+    ce = air.ce_blowup
+    w_lde = air.lde_generator
+    n_cols = air.main_width + air.aux_width
+    zg = F.mul(st.z, air.trace_generator)
+    z_m = F.exp(st.z, ce)
+
+    deep_trace = [st.coin.draw_elements(3) for _ in range(n_cols)]
+    deep_constraints = st.coin.draw_elements(ce)
+    lam, mu = st.coin.draw_pair()
+
+    x_dom = power_series(w_lde, m, F.DOMAIN_OFFSET)
+    dz = sub(x_dom, gf_full((m,), st.z))
     dzg = sub(x_dom, gf_full((m,), zg))
     dzm = sub(x_dom, gf_full((m,), z_m))
     dstack = gf_concat([d.reshape(1, m) for d in (dz, dzg, dzm)], axis=0)
     dinv = batch_inv(dstack, axis=-1)
     inv_z, inv_zg, inv_zm = dinv[0], dinv[1], dinv[2]
 
+    all_lde = st.main_lde if not air.aux_width else gf_concat(
+        [st.main_lde, st.aux_lde], axis=0)
     num_cur = gf_full((m,), 0)
     num_nxt = gf_full((m,), 0)
     for c in range(n_cols):
         col = all_lde[c]
         num_cur = add(num_cur, mul_scalar(
-            sub(col, gf_full((m,), cur_row[c])), deep_trace[c][0]))
+            sub(col, gf_full((m,), st.cur_row[c])), deep_trace[c][0]))
         num_nxt = add(num_nxt, mul_scalar(
-            sub(col, gf_full((m,), nxt_row[c])), deep_trace[c][1]))
+            sub(col, gf_full((m,), st.nxt_row[c])), deep_trace[c][1]))
     deep = add(mul(num_cur, inv_z), mul(num_nxt, inv_zg))
 
     num_c = gf_full((m,), 0)
     for i in range(ce):
         num_c = add(num_c, mul_scalar(
-            sub(constraint_lde[i], gf_full((m,), ood_evals[i])),
+            sub(st.constraint_lde[i], gf_full((m,), st.ood_evals[i])),
             deep_constraints[i]))
     deep = add(deep, mul(num_c, inv_zm))
-    deep = mul(deep, add(gf_full((m,), lam), mul_scalar(x_dom, mu)))
+    st.deep = mul(deep, add(gf_full((m,), lam), mul_scalar(x_dom, mu)))
 
-    # ---- 8: FRI + PoW ----
+
+def stage_fri_pow(air: Air, st: ProverState) -> None:
+    opts = air.options
+    m = air.trace_length * opts.blowup_factor
     ff = opts.fri_folding_factor
     layers, alphas, remainder, rem_tree = commit_fri(
-        deep, coin, ff, opts.fri_max_remainder_size)
+        st.deep, st.coin, ff, opts.fri_max_remainder_size)
+    st.fri_layers = layers
+    st.fri_remainder = remainder
+    st.rem_tree = rem_tree
     for layer in layers:
-        commitments.append(layer.tree.root)
-    commitments.append(rem_tree.root)
+        st.commitments.append(layer.tree.root)
+    st.commitments.append(rem_tree.root)
 
-    pow_nonce = _grind_pow(coin, opts.grinding_factor)
-    coin.reseed_with_int(pow_nonce)
-    positions = coin.draw_integers(opts.num_queries, m)
+    st.pow_nonce = _grind_pow(st.coin, opts.grinding_factor)
+    st.coin.reseed_with_int(st.pow_nonce)
+    st.positions = st.coin.draw_integers(opts.num_queries, m)
 
-    # ---- 9: query openings ----
-    def open_tree(tree: DeviceMerkleTree, cols: GF, idxs: List[int]) -> Queries:
-        rows = from_gf(gf_take(_columns_to_rows(cols), np.array(idxs), axis=0))
+
+def stage_queries_serialize(air: Air, st: ProverState) -> None:
+    opts = air.options
+    m = air.trace_length * opts.blowup_factor
+    ff = opts.fri_folding_factor
+
+    def open_tree(tree: DeviceMerkleTree, cols: GF,
+                  idxs: List[int]) -> Queries:
+        rows = from_gf(gf_take(_columns_to_rows(cols), np.array(idxs),
+                               axis=0))
         values = felts_to_bytes(rows.reshape(-1).tolist())
         proof = tree.prove_batch(idxs)
         return Queries(values=values, paths=proof.serialize_nodes())
 
-    trace_queries = [open_tree(main_tree, main_lde, positions)]
-    if aux_w:
-        trace_queries.append(open_tree(aux_tree, aux_lde, positions))
-    constraint_queries = open_tree(constraint_tree, constraint_lde, positions)
+    trace_queries = [open_tree(st.main_tree, st.main_lde, st.positions)]
+    if air.aux_width:
+        trace_queries.append(open_tree(st.aux_tree, st.aux_lde, st.positions))
+    constraint_queries = open_tree(st.constraint_tree, st.constraint_lde,
+                                   st.positions)
 
     fri_layers_ser: List[FriProofLayer] = []
-    idxs = list(positions)
+    idxs = list(st.positions)
     size = m
-    for layer in layers:
+    for layer in st.fri_layers:
         target = size // ff
         folded: List[int] = []
         for p in idxs:
@@ -259,18 +368,69 @@ def prove(air: Air, main_trace: GF, pub_inputs) -> StarkProof:
         size = target
 
     fri_proof = FriProof(layers=fri_layers_ser,
-                         remainder=felts_to_bytes(remainder),
+                         remainder=felts_to_bytes(st.fri_remainder),
                          num_partitions=0)
-
-    ood_frame = OodFrame(trace_states=felts_to_bytes(cur_row + nxt_row),
-                         evaluations=felts_to_bytes(ood_evals))
-
-    return StarkProof(
+    ood_frame = OodFrame(trace_states=felts_to_bytes(st.cur_row + st.nxt_row),
+                         evaluations=felts_to_bytes(st.ood_evals))
+    st.proof = StarkProof(
         context=air.context(),
-        commitments=commitments,
+        commitments=st.commitments,
         trace_queries=trace_queries,
         constraint_queries=constraint_queries,
         ood_frame=ood_frame,
         fri_proof=fri_proof,
-        pow_nonce=pow_nonce,
+        pow_nonce=st.pow_nonce,
     )
+
+
+_STAGE_FNS = (stage_trace_commit, stage_aux_commit, stage_constraint_eval,
+              stage_ood_frames, stage_deep_composition, stage_fri_pow,
+              stage_queries_serialize)
+
+
+# ----------------------------------------------------------------- frontend
+
+def prove(air: Air, main_trace: GF, pub_inputs) -> StarkProof:
+    """Run the full staged pipeline in-process."""
+    st = ProverState(pub_inputs=pub_inputs, main_trace=main_trace)
+    with span("prove_program"):
+        for name, fn in zip(STAGES, _STAGE_FNS):
+            with span(name):
+                fn(air, st)
+            st.stage += 1
+    return st.proof
+
+
+def prove_resumable(air: Air, main_trace: GF, pub_inputs,
+                    checkpoint_dir: str) -> StarkProof:
+    """prove() with stage-level checkpoint/resume.
+
+    After each stage the full ProverState is persisted to
+    <checkpoint_dir>/state.pkl; on re-invocation completed stages are
+    skipped and the pipeline continues from the first unfinished one.
+    (The reference splits its prover into resumable stages through the
+    winterfell fork APIs but keeps no persistent state; here a killed
+    long-running proof resumes instead of restarting.)
+    """
+    import os
+    import pickle
+    os.makedirs(checkpoint_dir, exist_ok=True)
+    path = os.path.join(checkpoint_dir, "state.pkl")
+    if os.path.exists(path):
+        with open(path, "rb") as f:
+            st = pickle.load(f).to_device()
+    else:
+        st = ProverState(pub_inputs=pub_inputs, main_trace=main_trace)
+    with span("prove_program", resume_from=st.stage):
+        for i, (name, fn) in enumerate(zip(STAGES, _STAGE_FNS)):
+            if i < st.stage:
+                continue
+            with span(name):
+                fn(air, st)
+            st.stage += 1
+            tmp = path + ".tmp"
+            with open(tmp, "wb") as f:
+                pickle.dump(st.to_host(), f)
+            os.replace(tmp, path)
+            st.to_device()
+    return st.proof

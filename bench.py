@@ -148,7 +148,7 @@ def bench_proof(n_steps=1 << 10):
     t0 = time.perf_counter()
     proof = prove(air, trace, pub)
     dt = time.perf_counter() - t0
-    return dt, len(proof.serialize())
+    return dt, len(proof.to_bytes())
 
 
 def main():
