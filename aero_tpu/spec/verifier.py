@@ -53,7 +53,20 @@ def verify(proof: StarkProof, pub_inputs: PublicInputs, air=None) -> VerifierTra
     """Verify `proof` against `pub_inputs`. If `air` is provided (an object
     with evaluate_constraints_at(...)), the OOD consistency check is enforced;
     otherwise only the structural/cryptographic checks run (the reference
-    never implemented the OOD check at all)."""
+    never implemented the OOD check at all).
+
+    Raises VerificationError on ANY defect — malformed Merkle batch proofs
+    (e.g. openings inconsistent with the derived query positions) are
+    wrapped rather than leaking MerkleError."""
+    from .merkle import MerkleError
+    try:
+        return _verify_inner(proof, pub_inputs, air)
+    except MerkleError as e:
+        raise VerificationError(f"merkle authentication failed: {e}") from e
+
+
+def _verify_inner(proof: StarkProof, pub_inputs: PublicInputs,
+                  air=None) -> VerifierTranscript:
     ctx = proof.context
     opts = ctx.options
     layout = ctx.layout
