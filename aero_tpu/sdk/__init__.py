@@ -180,6 +180,7 @@ def prove(program: pb.MidenProgram, inputs: pb.MidenProgramInputs,
     opts = options_from_pb(options) if options is not None else DEFAULT_OPTIONS
     stack_init = list(inputs.stack_init)
     trace, out_stack = execute(program.program, list(reversed(stack_init)),
+                               advice_tape=list(inputs.advice_tape),
                                min_rows=min_rows)
     pub = make_public_inputs(program_hash(program.program),
                              list(reversed(stack_init)), out_stack)
