@@ -169,22 +169,35 @@ class MidenAir(Air):
         for k in range(8):
             top_result[f"dup{k}"] = s[k]
 
-        def source(op: str, j: int):
-            if op in PERM:
-                return s[PERM[op].get(j, j)]
-            if j == 0:
-                return top_result[op]
-            if op in DOWN_OPS:
-                return s[j - 1]
-            if op in UP_OPS:
-                return s[j + 1] if j < 15 else gf_zeros((m,))
-            return s[j]  # STAY_OPS
+        # 17-32: stack updates. For j >= 1 every non-permutation op behaves
+        # as its shift class (down: s[j-1], up: s[j+1], stay: s[j]), so the
+        # op-weighted sum collapses to three class-flag terms plus the
+        # handful of permutation ops — ~3x fewer field muls in the hottest
+        # constraint group (same polynomial identity).
+        def class_flag(names):
+            f = gf_zeros((m,))
+            for nm in names:
+                f = add(f, flag[nm])
+            return f
 
-        # 17-32: stack updates
+        down_f = class_flag(DOWN_OPS)
+        up_f = class_flag(UP_OPS)
+        stay_f = class_flag(STAY_OPS)
+        zeros = gf_zeros((m,))
+
         for j in range(16):
-            expr = gf_zeros((m,))
-            for name in OPS:
-                expr = add(expr, mul(flag[name], source(name, j)))
+            if j == 0:
+                expr = gf_zeros((m,))
+                for name in OPS:
+                    src0 = (s[PERM[name][0]] if name in PERM
+                            else top_result[name])
+                    expr = add(expr, mul(flag[name], src0))
+            else:
+                expr = mul(down_f, s[j - 1])
+                expr = add(expr, mul(up_f, s[j + 1] if j < 15 else zeros))
+                expr = add(expr, mul(stay_f, s[j]))
+                for name, perm in PERM.items():
+                    expr = add(expr, mul(flag[name], s[perm.get(j, j)]))
             out.append(sub(sn[j], expr))
 
         # 33: inverse-witness soundness (flag-exclusive merge — at most one

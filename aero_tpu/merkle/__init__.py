@@ -1,2 +1,2 @@
 from .tree import (commit_rows, commit_columns, commit_digests,
-                   DeviceMerkleTree)
+                   DeviceMerkleTree, ResidentMerkleTree)

@@ -77,13 +77,87 @@ def _use_pallas() -> bool:
     return jax.default_backend() not in ("cpu",)
 
 
-def commit_columns(cols: GF) -> DeviceMerkleTree:
+class ResidentMerkleTree:
+    """Merkle tree whose node levels STAY on device (word-major (8, size)
+    uint32 arrays, levels[0] = leaves). Batch openings gather exactly the
+    digests the proof ships (spec.merkle.batch_proof_coords) — a 27-query
+    opening of a 2^23-leaf tree fetches ~700 digests instead of the 512 MB
+    of nodes the host-resident DeviceMerkleTree would download."""
+
+    def __init__(self, levels_t: List[jax.Array]):
+        self.levels = levels_t            # levels_t[k]: (8, n >> k)
+        self.n = int(levels_t[0].shape[1])
+        root = np.asarray(jax.device_get(levels_t[-1][:, 0]))
+        self._root = root.astype("<u4").tobytes()
+
+    @property
+    def root(self) -> bytes:
+        return self._root
+
+    @property
+    def depth(self) -> int:
+        return self.n.bit_length() - 1
+
+    def _fetch(self, flat_coords: List[int]) -> dict:
+        """flat-tree indices -> digest bytes, one device gather per level."""
+        by_level: dict = {}
+        for c in flat_coords:
+            size = 1 << (c.bit_length() - 1)   # level width
+            by_level.setdefault(size, []).append(c)
+        out = {}
+        for size, coords in by_level.items():
+            lvl = self.levels[self.depth - (size.bit_length() - 1)]
+            offs = jnp.asarray([c - size for c in coords], dtype=jnp.int32)
+            got = np.asarray(jax.device_get(jnp.take(lvl, offs, axis=1)))
+            for j, c in enumerate(coords):
+                out[c] = got[:, j].astype("<u4").tobytes()
+        return out
+
+    def prove(self, index: int) -> List[bytes]:
+        coords = [self.n + index]
+        i = self.n + index
+        while i > 1:
+            coords.append(i ^ 1)
+            i >>= 1
+        got = self._fetch(coords)
+        return [got[c] for c in coords]
+
+    def prove_batch(self, indexes) -> BatchMerkleProof:
+        from ..spec.merkle import batch_proof_coords
+        leaf_coords, node_coords = batch_proof_coords(self.n, self.depth,
+                                                      indexes)
+        flat = list(leaf_coords) + [c for lst in node_coords for c in lst]
+        got = self._fetch(flat)
+        return BatchMerkleProof(
+            leaves=[got[c] for c in leaf_coords],
+            nodes=[[got[c] for c in lst] for lst in node_coords],
+            depth=self.depth)
+
+    # checkpointing support (prover.ProverState.to_host/to_device)
+    def to_host(self):
+        self.levels = [np.asarray(jax.device_get(l)) for l in self.levels]
+        return self
+
+    def to_device(self):
+        self.levels = [jnp.asarray(l) for l in self.levels]
+        return self
+
+
+def commit_columns(cols: GF, resident: bool = True):
     """Commit to column-major GF[row_width, n_leaves] (the prover's native
     trace-LDE layout). On TPU this runs the Pallas blake2s kernel with the
-    word-major layout — no row transpose at all; on CPU it falls back to
-    the jnp path."""
+    word-major layout — no row transpose at all — and (by default) keeps
+    the node levels device-resident; on CPU it falls back to the jnp path
+    and a host tree."""
     if _use_pallas():
-        from ..hash.blake2s_pallas import hash_columns_t, merkle_levels_t
-        levels = merkle_levels_t(hash_columns_t(cols))
-        return DeviceMerkleTree([np.asarray(jax.device_get(l)) for l in levels])
+        from ..hash.blake2s_pallas import hash_columns_t, merge_level_t
+        cur = hash_columns_t(cols)
+        levels = [cur]
+        while cur.shape[1] > 1:
+            cur = merge_level_t(cur)
+            levels.append(cur)
+        if resident:
+            return ResidentMerkleTree(levels)
+        return DeviceMerkleTree(
+            [np.asarray(jax.device_get(l)).T for l in levels])
     return commit_rows(GF(cols.lo.T, cols.hi.T))

@@ -51,7 +51,18 @@ def fold_evals(evals: GF, alpha: int, ff: int, offset: int = F.DOMAIN_OFFSET) ->
 class FriLayer:
     evals: GF                      # evaluations over this layer's domain
     tree: DeviceMerkleTree         # transposed-leaf commitment
-    rows: GF                       # GF[m/ff, ff] leaf rows
+    ff: int                        # folding factor (leaf row width)
+
+    def rows_at(self, positions) -> GF:
+        """Gather leaf rows GF[len(positions), ff] on device (leaf fp is
+        column fp of evals.reshape(ff, m/ff)) without materializing the
+        full transpose."""
+        import numpy as np
+        m = self.evals.shape[-1]
+        cols = gf_reshape(self.evals, (self.ff, m // self.ff))
+        from ..field import gf_take
+        picked = gf_take(cols, np.asarray(list(positions)), axis=-1)
+        return GF(picked.lo.T, picked.hi.T)
 
 
 def commit_fri(deep_evals: GF, coin, ff: int, max_remainder: int
@@ -66,14 +77,13 @@ def commit_fri(deep_evals: GF, coin, ff: int, max_remainder: int
     evals = deep_evals
     m = evals.shape[-1]
     while m > max_remainder:
-        rows = transposed_rows(evals, ff)
         # leaf row fp is column fp of evals.reshape(ff, m/ff) — commit in
         # column-major layout directly (Pallas path needs no transpose)
         tree = commit_columns(gf_reshape(evals, (ff, m // ff)))
         coin.reseed(tree.root)
         alpha = coin.draw()
         alphas.append(alpha)
-        layers.append(FriLayer(evals, tree, rows))
+        layers.append(FriLayer(evals, tree, ff))
         evals = fold_evals(evals, alpha, ff)
         m = evals.shape[-1]
 

@@ -118,6 +118,17 @@ class ProverState:
 
     _GF_FIELDS = ("main_trace", "main_polys", "main_lde", "aux_polys",
                   "aux_lde", "col_coeffs", "constraint_lde", "deep")
+    _TREE_FIELDS = ("main_tree", "aux_tree", "constraint_tree", "rem_tree")
+
+    def _trees(self):
+        for name in self._TREE_FIELDS:
+            t = getattr(self, name)
+            if t is not None and hasattr(t, "to_host"):
+                yield t
+        for l in self.fri_layers or []:
+            t = l.tree if isinstance(l, FriLayer) else l[3]
+            if hasattr(t, "to_host"):
+                yield t
 
     def to_host(self) -> "ProverState":
         for name in self._GF_FIELDS:
@@ -127,8 +138,10 @@ class ProverState:
         if self.fri_layers is not None:
             self.fri_layers = [
                 ("FL", np.asarray(l.evals.lo), np.asarray(l.evals.hi),
-                 l.tree, np.asarray(l.rows.lo), np.asarray(l.rows.hi))
+                 l.tree, l.ff)
                 for l in self.fri_layers]
+        for t in self._trees():
+            t.to_host()
         return self
 
     def to_device(self) -> "ProverState":
@@ -139,9 +152,11 @@ class ProverState:
         if self.fri_layers is not None:
             self.fri_layers = [
                 FriLayer(GF(jnp.asarray(l[1]), jnp.asarray(l[2])), l[3],
-                         GF(jnp.asarray(l[4]), jnp.asarray(l[5])))
+                         l[4])
                 if isinstance(l, tuple) else l
                 for l in self.fri_layers]
+        for t in self._trees():
+            t.to_device()
         return self
 
 
@@ -240,9 +255,13 @@ def stage_constraint_eval(air: Air, st: ProverState) -> None:
     # composition polynomial -> ce columns -> LDE -> commit
     # iNTT over the coset: divide out offset powers
     c_coeffs = mul(intt(merged), power_series(F.inv(offset), m))
-    comp = from_gf(c_coeffs)
-    assert np.all(comp[ce * n:] == 0), "composition degree overflow"
-    st.col_coeffs = to_gf(comp[:ce * n].reshape(n, ce).T)
+    cc = canonicalize(c_coeffs)
+    # degree check on device: coefficients past ce*n must vanish (one
+    # scalar fetch instead of downloading the whole polynomial)
+    tail_nonzero = jnp.any(cc.lo[ce * n:] | cc.hi[ce * n:])
+    assert not bool(tail_nonzero), "composition degree overflow"
+    st.col_coeffs = GF(cc.lo[:ce * n].reshape(n, ce).T,
+                       cc.hi[:ce * n].reshape(n, ce).T)
     st.constraint_lde = lde(st.col_coeffs, log_blowup, offset)  # GF[ce, m]
     st.constraint_tree = commit_columns(st.constraint_lde)
     st.commitments.append(st.constraint_tree.root)
@@ -335,10 +354,10 @@ def stage_queries_serialize(air: Air, st: ProverState) -> None:
     m = air.trace_length * opts.blowup_factor
     ff = opts.fri_folding_factor
 
-    def open_tree(tree: DeviceMerkleTree, cols: GF,
-                  idxs: List[int]) -> Queries:
-        rows = from_gf(gf_take(_columns_to_rows(cols), np.array(idxs),
-                               axis=0))
+    def open_tree(tree, cols: GF, idxs: List[int]) -> Queries:
+        # gather the queried columns on device, transpose the tiny result
+        picked = gf_take(cols, np.array(idxs), axis=-1)     # GF[w, q]
+        rows = from_gf(GF(picked.lo.T, picked.hi.T))        # (q, w)
         values = felts_to_bytes(rows.reshape(-1).tolist())
         proof = tree.prove_batch(idxs)
         return Queries(values=values, paths=proof.serialize_nodes())
@@ -359,7 +378,7 @@ def stage_queries_serialize(air: Air, st: ProverState) -> None:
             fp = p % target
             if fp not in folded:
                 folded.append(fp)
-        rows = from_gf(gf_take(layer.rows, np.array(folded), axis=0))
+        rows = from_gf(layer.rows_at(folded))
         values = felts_to_bytes(rows.reshape(-1).tolist())
         proof = layer.tree.prove_batch(folded)
         fri_layers_ser.append(FriProofLayer(values=values,

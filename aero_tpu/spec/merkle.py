@@ -60,40 +60,12 @@ class MerkleTree:
     def prove_batch(self, indexes: Sequence[int]) -> "BatchMerkleProof":
         """Winterfell-compatible batch proof for `indexes` (arbitrary order,
         no duplicates). leaves[i] corresponds to indexes[i]."""
-        index_map = _map_indexes(indexes)
-        groups = _normalize_indexes(indexes)
-        leaves = [self.nodes[self.n + idx] for idx in indexes]
-        node_lists: List[List[bytes]] = []
-
-        active: List[int] = []  # flat-tree indices at the current level
-        for g in groups:
-            lst: List[bytes] = []
-            if g in index_map:
-                if (g + 1) not in index_map:
-                    lst.append(self.nodes[self.n + g + 1])
-            else:
-                # only the right child queried: include the left leaf
-                lst.append(self.nodes[self.n + g])
-            node_lists.append(lst)
-            active.append((self.n + g) >> 1)
-
-        for _ in range(self.depth - 1):
-            next_active: List[int] = []
-            i = 0
-            while i < len(active):
-                node = active[i]
-                # winterfell assignment rule: the raw scan index (which skips
-                # ahead by 2 on pair merges) selects the receiving node list
-                slot = i
-                if i + 1 < len(active) and active[i + 1] == (node ^ 1):
-                    i += 1  # sibling is itself an active node; nothing to add
-                else:
-                    node_lists[slot].append(self.nodes[node ^ 1])
-                next_active.append(node >> 1)
-                i += 1
-            active = next_active
-
-        return BatchMerkleProof(leaves=leaves, nodes=node_lists, depth=self.depth)
+        leaf_coords, node_coords = batch_proof_coords(self.n, self.depth,
+                                                      indexes)
+        return BatchMerkleProof(
+            leaves=[self.nodes[c] for c in leaf_coords],
+            nodes=[[self.nodes[c] for c in lst] for lst in node_coords],
+            depth=self.depth)
 
 
 @dataclass
@@ -257,6 +229,49 @@ class BatchMerkleProof:
         if off != len(data):
             raise MerkleError(f"trailing bytes in batch proof: {len(data) - off}")
         return cls(leaves=leaves, nodes=node_lists, depth=depth)
+
+
+def batch_proof_coords(n: int, depth: int, indexes: Sequence[int]):
+    """Flat-tree coordinates of every digest a batch proof ships — pure
+    index arithmetic (no digest values), so a device-resident tree can
+    gather exactly these nodes instead of downloading all 2n of them.
+
+    Returns (leaf_coords, node_coords): leaf_coords[i] is the flat index of
+    the leaf for indexes[i]; node_coords mirrors BatchMerkleProof.nodes
+    (per normalized group, in consumption order)."""
+    index_map = _map_indexes(indexes)
+    groups = _normalize_indexes(indexes)
+    leaf_coords = [n + idx for idx in indexes]
+    node_coords: List[List[int]] = []
+
+    active: List[int] = []  # flat-tree indices at the current level
+    for g in groups:
+        lst: List[int] = []
+        if g in index_map:
+            if (g + 1) not in index_map:
+                lst.append(n + g + 1)
+        else:
+            # only the right child queried: include the left leaf
+            lst.append(n + g)
+        node_coords.append(lst)
+        active.append((n + g) >> 1)
+
+    for _ in range(depth - 1):
+        next_active: List[int] = []
+        i = 0
+        while i < len(active):
+            node = active[i]
+            # winterfell assignment rule: the raw scan index (which skips
+            # ahead by 2 on pair merges) selects the receiving node list
+            slot = i
+            if i + 1 < len(active) and active[i + 1] == (node ^ 1):
+                i += 1  # sibling is itself an active node; nothing to add
+            else:
+                node_coords[slot].append(node ^ 1)
+            next_active.append(node >> 1)
+            i += 1
+        active = next_active
+    return leaf_coords, node_coords
 
 
 def _map_indexes(indexes: Sequence[int]) -> Dict[int, int]:

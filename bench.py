@@ -132,21 +132,26 @@ def bench_mul(log_n=21):
     return n / dt, dt
 
 
-def bench_proof(n_steps=1 << 10):
-    """End-to-end fib proof wall clock at the golden parameters
-    (2^10 trace, 27 queries, blowup 8, 16-bit grinding)."""
-    from aero_tpu.air.fib import (FibAir, FibPublicInputs, build_fib_trace,
-                                  fib_result)
+def bench_proof(min_rows=1 << 10, grind=16):
+    """End-to-end MIDEN fib proof wall clock at the golden parameters
+    (the reference's workload: 2^10-row 72+9-col trace, 27 queries,
+    blowup 8, 16-bit grinding, blake2s)."""
+    from aero_tpu.vm import execute, fibonacci_source, program_hash
+    from aero_tpu.air.miden import MidenAir, make_public_inputs
+    from aero_tpu.field import to_gf
     from aero_tpu.spec.proof import ProofOptions
     from aero_tpu.prover.prover import prove
 
-    pub = FibPublicInputs(result=fib_result(n_steps), n_steps=n_steps)
-    opts = ProofOptions(num_queries=27, blowup_factor=8, grinding_factor=16)
-    air = FibAir(n_steps, pub, opts)
-    trace = build_fib_trace(n_steps)
-    prove(air, trace, pub)          # warm the compile caches
+    src = fibonacci_source(10)
+    trace, out_stack = execute(src, [0, 1], min_rows=min_rows)
+    pub = make_public_inputs(program_hash(src), [0, 1], out_stack)
+    opts = ProofOptions(num_queries=27, blowup_factor=8,
+                        grinding_factor=grind)
+    air = MidenAir(trace.shape[1], pub, opts)
+    gtrace = to_gf(trace)
+    prove(air, gtrace, pub)          # warm the compile caches
     t0 = time.perf_counter()
-    proof = prove(air, trace, pub)
+    proof = prove(air, gtrace, pub)
     dt = time.perf_counter() - t0
     return dt, len(proof.to_bytes())
 
