@@ -45,6 +45,12 @@ OPS = [
     # group 3: permutations + high dups
     "movup2", "movup3", "movup4", "movdn2", "movdn3", "movdn4",
     "dup6", "dup7",
+    # group 4: u32 family (checked-wrapping; in-place lo/hi, binary rest)
+    "u32lo", "u32hi", "u32add", "u32sub", "u32mul", "u32div",
+    "u32mod", "u32and",
+    # group 5: u32 bitwise/shift/compare + random-access memory
+    "u32or", "u32xor", "u32not", "u32shl", "u32shr", "u32lt",
+    "memload", "memstore",
 ]
 NUM_OPS = len(OPS)
 

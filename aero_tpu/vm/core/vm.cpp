@@ -15,8 +15,9 @@
 //                   op = group*8 + member  (48-op capacity, 32 defined)
 //   column 15     : immediate value (push)
 //   columns 16-31 : stack s0..s15 (s0 = top)
-//   column 32     : virtual stack depth
-//   column 33     : overflow bookkeeping counter (always 0 in this round)
+//   column 32     : virtual stack depth (window depth, constant 16)
+//   column 33     : overflow net counter (#window-down - #window-up ops,
+//                   as a field element; tracks the overflow-table size)
 //   column 34     : helper column h0 (inverse witness for eq/neq/eqz/inv)
 //   columns 35-71 : reserved chiplet columns (zero; see aero_tpu/air/miden.py
 //                   for the constraint inventory and documented gaps)
@@ -25,15 +26,21 @@
 // ProcessorAir's exact proof shape (72 main cols, 49 transition
 // constraints): booleanity costs 6+8 constraints instead of one per op.
 //
-// Immediate-operand forms (add.N, sub.N, mul.N, div.N, eq.N, neq.N) and
-// div desugar in the assembler to primitive sequences; u32.* and mem.*
-// families are NOT implemented (documented gap: they need range-check /
-// memory chiplets and bus arguments).
+// Immediate-operand forms (add.N, sub.N, mul.N, div.N, eq.N, neq.N,
+// u32add.N, ..., mem.load.ADDR, mem.store.ADDR), div and u32split desugar
+// in the assembler to primitive sequences. The u32 family uses
+// checked-wrapping semantics (trap on non-u32 operands, results mod 2^32);
+// mem.load/mem.store give word-addressed random-access memory.
 //
-// Fixed-window stack semantics: push shifts the window down; a non-zero
-// value shifted out of s15 is an "overflow unsupported" runtime error
-// (the fib/demo programs keep depth <= 16, matching the golden vector's
-// empty overflow_addrs).
+// Fixed-window stack semantics with an overflow table: a value shifted
+// past s15 by a window-down op is parked in a LIFO overflow table and
+// restored by the next window-up op, so programs of any stack depth run.
+// In-AIR the restored slot is nondeterministic (like advpush) and only the
+// net counter is constrained — full value soundness of the restore needs
+// the overflow-bus argument (documented gap). Likewise the u32/mem ops'
+// results are nondeterministic in-AIR pending range-check/memory chiplets;
+// the reference's own verifier evaluates NO constraints at all (its
+// evaluator is stubbed, stark_verifier.cairo:152-159).
 //
 // Exposed as a C API (trace generation into a caller-provided buffer) for
 // the Python ctypes binding in aero_tpu/vm/__init__.py.
@@ -91,6 +98,10 @@ enum Op : int {
   NOP = 16, HALT, NEG, NOT, INV, EQZ, ASSERT, SWAP,
   // group 3: permutations + high dups
   MOVUP2 = 24, MOVUP3, MOVUP4, MOVDN2, MOVDN3, MOVDN4, DUP6, DUP7,
+  // group 4: u32 family, in-place + binary (checked: operands < 2^32)
+  U32LO = 32, U32HI, U32ADD, U32SUB, U32MUL, U32DIV, U32MOD, U32AND,
+  // group 5: u32 bitwise/shift/compare + random-access memory
+  U32OR = 40, U32XOR, U32NOT, U32SHL, U32SHR, U32LT, MEMLOAD, MEMSTORE,
   NUM_OPS
 };
 
@@ -269,6 +280,53 @@ struct Assembler {
       out.push_back({MUL, 0});
       return true;
     }
+
+    // u32 family. Binary ops take (s1=a, s0=b) -> result, window-up.
+    static const std::map<std::string, Op> u32ops = {
+        {"u32lo", U32LO}, {"u32hi", U32HI}, {"u32add", U32ADD},
+        {"u32sub", U32SUB}, {"u32mul", U32MUL}, {"u32div", U32DIV},
+        {"u32mod", U32MOD}, {"u32and", U32AND}, {"u32or", U32OR},
+        {"u32xor", U32XOR}, {"u32not", U32NOT}, {"u32shl", U32SHL},
+        {"u32shr", U32SHR}, {"u32lt", U32LT}};
+    auto u32it = u32ops.find(t);
+    if (u32it != u32ops.end()) { out.push_back({u32it->second, 0}); return true; }
+    if (t == "u32split") {
+      // s0 = a -> (s0 = a mod 2^32, s1 = a >> 32); net depth +1
+      out.push_back({DUP0, 0});
+      out.push_back({U32HI, 0});
+      out.push_back({SWAP, 0});
+      out.push_back({U32LO, 0});
+      return true;
+    }
+    // u32 immediate forms: u32add.N => push.N u32add, etc.
+    if (dot != std::string::npos) {
+      std::string base = t.substr(0, dot);
+      std::string arg = t.substr(dot + 1);
+      bool numeric = !arg.empty() &&
+                     arg.find_first_not_of("0123456789") == std::string::npos;
+      if (numeric) {
+        u64 v = imm_of(arg);
+        auto bit = u32ops.find(base);
+        if (bit != u32ops.end() && bit->second >= U32ADD) {
+          out.push_back({PUSH, v});
+          out.push_back({bit->second, 0});
+          return true;
+        }
+      }
+    }
+    // memory: mem.load[.ADDR] / mem.store[.ADDR]
+    if (t == "mem.load") { out.push_back({MEMLOAD, 0}); return true; }
+    if (t == "mem.store") { out.push_back({MEMSTORE, 0}); return true; }
+    if (t.rfind("mem.load.", 0) == 0) {
+      out.push_back({PUSH, imm_of(t.substr(9))});
+      out.push_back({MEMLOAD, 0});
+      return true;
+    }
+    if (t.rfind("mem.store.", 0) == 0) {
+      out.push_back({PUSH, imm_of(t.substr(10))});
+      out.push_back({MEMSTORE, 0});
+      return true;
+    }
     error = "unknown instruction: " + t;
     return false;
   }
@@ -324,11 +382,14 @@ struct Assembler {
 // --- executor --------------------------------------------------------------
 
 struct Executor {
-  std::vector<u64> stack;  // s0 = front
+  std::vector<u64> stack;    // s0 = front (fixed 16-slot window)
+  std::vector<u64> overflow; // values shifted past s15 (LIFO), restored on pops
+  std::map<u64, u64> memory; // random-access word memory (default 0)
   std::vector<std::vector<u64>> rows;
   std::vector<u64> advice;
   size_t advice_pos = 0;
   u64 clk = 0;
+  u64 ovf_ctr = 0;  // field-element net (#down - #up) counter, column 33
   std::string error;
 
   Executor(const std::vector<u64>& inputs, const std::vector<u64>& adv)
@@ -347,21 +408,33 @@ struct Executor {
     row[COL_IMM] = imm;
     for (int j = 0; j < 16; ++j) row[COL_STACK + j] = stack[j];
     row[COL_DEPTH] = 16;
-    row[COL_OVF] = 0;
+    row[COL_OVF] = ovf_ctr;
     row[COL_H0] = h0;
     rows.push_back(std::move(row));
     ++clk;
   }
 
+  // Window-down: the value leaving s15 is parked in the overflow table and
+  // restored (LIFO) by the next window-up op; the AIR tracks only the net
+  // counter (ovf' = ovf + down - up, column 33) — value soundness of the
+  // restore needs the overflow-bus argument (documented gap, the restored
+  // slot is nondeterministic like advpush).
   bool push_shift(u64 v) {
-    if (stack[15] != 0) { error = "stack overflow unsupported (overflow table not implemented)"; return false; }
+    overflow.push_back(stack[15]);
     for (int j = 15; j > 0; --j) stack[j] = stack[j - 1];
     stack[0] = v;
+    ovf_ctr = fadd(ovf_ctr, 1);
     return true;
   }
   void pop_shift() {
     for (int j = 0; j < 15; ++j) stack[j] = stack[j + 1];
-    stack[15] = 0;
+    if (!overflow.empty()) {
+      stack[15] = overflow.back();
+      overflow.pop_back();
+    } else {
+      stack[15] = 0;
+    }
+    ovf_ctr = fsub(ovf_ctr, 1);
   }
 
   bool dup_k(int k) { return push_shift(stack[k]); }
@@ -427,6 +500,62 @@ struct Executor {
         if (stack[0] != 1) { error = "assertion failed (top != 1)"; return false; }
         pop_shift();
         break;
+
+      // u32 family: checked-wrapping semantics (operands must already be
+      // u32 values; results reduced mod 2^32). Binary ops take s1=a, s0=b.
+      case U32LO: stack[0] = stack[0] & 0xFFFFFFFFULL; break;
+      case U32HI: stack[0] = stack[0] >> 32; break;
+      case U32NOT:
+        if (stack[0] >> 32) { error = "u32not on non-u32 operand"; return false; }
+        stack[0] = ~stack[0] & 0xFFFFFFFFULL;
+        break;
+      case U32ADD: case U32SUB: case U32MUL: case U32DIV: case U32MOD:
+      case U32AND: case U32OR: case U32XOR: case U32SHL: case U32SHR:
+      case U32LT: {
+        u64 b = stack[0], a = stack[1];
+        if (a >> 32 || b >> 32) { error = "u32 op on non-u32 operand"; return false; }
+        u64 v = 0;
+        switch (ins.op) {
+          case U32ADD: v = (a + b) & 0xFFFFFFFFULL; break;
+          case U32SUB: v = (a - b) & 0xFFFFFFFFULL; break;
+          case U32MUL: v = (a * b) & 0xFFFFFFFFULL; break;
+          case U32DIV:
+            if (!b) { error = "u32div by zero"; return false; }
+            v = a / b;
+            break;
+          case U32MOD:
+            if (!b) { error = "u32mod by zero"; return false; }
+            v = a % b;
+            break;
+          case U32AND: v = a & b; break;
+          case U32OR: v = a | b; break;
+          case U32XOR: v = a ^ b; break;
+          case U32SHL:
+            if (b >= 32) { error = "u32shl shift >= 32"; return false; }
+            v = (a << b) & 0xFFFFFFFFULL;
+            break;
+          case U32SHR:
+            if (b >= 32) { error = "u32shr shift >= 32"; return false; }
+            v = a >> b;
+            break;
+          case U32LT: v = a < b ? 1 : 0; break;
+          default: break;
+        }
+        pop_shift();
+        stack[0] = v;
+        break;
+      }
+      case MEMLOAD: {  // in-place: s0 = mem[s0]
+        auto it = memory.find(stack[0]);
+        stack[0] = it == memory.end() ? 0 : it->second;
+        break;
+      }
+      case MEMSTORE: {  // pop addr; mem[addr] = new top (value stays)
+        u64 addr = stack[0];
+        pop_shift();
+        memory[addr] = stack[0];
+        break;
+      }
       default: error = "bad op"; return false;
     }
     return true;
