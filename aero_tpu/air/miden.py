@@ -9,8 +9,13 @@ The constraint *semantics* are a from-scratch re-design for the aero-tpu VM
 (aero_tpu/vm/core/vm.cpp layout): the forked miden-vm's own AIR is not
 recoverable (empty submodule). Opcodes use a two-level one-hot encoding
 (6 group + 8 member selector columns; op flag = g_i * m_j, degree 2) so the
-32-op instruction set fits the 49-constraint budget — booleanity costs
-6+8 constraints instead of one per op.
+48-op instruction set (field/stack ops + u32 family + memory) fits the
+49-constraint budget — booleanity costs 6+8 constraints instead of one
+per op. u32add/u32sub are exact (h0 = carry/borrow witness, booleanity
+merged into constraint 33); the remaining u32/memory ops' top results are
+free witnesses pending the range-check/bitwise/memory chiplets
+(NONDET_TOP_OPS, same trust model the reference's own verifier applies to
+EVERYTHING — its constraint evaluator is stubbed).
 
 Transition constraints (49):
    0      clk' = clk + 1
@@ -56,9 +61,19 @@ OP = {name: i for i, name in enumerate(OPS)}
 DOWN_OPS = ("push", "advpush", "dup0", "dup1", "dup2", "dup3", "dup4",
             "dup5", "dup6", "dup7")
 # ops that shift the stack window up (top consumed/merged)
-UP_OPS = ("drop", "add", "sub", "mul", "eq", "neq", "and", "or", "assert")
+UP_OPS = ("drop", "add", "sub", "mul", "eq", "neq", "and", "or", "assert",
+          "u32add", "u32sub", "u32mul", "u32div", "u32mod", "u32and",
+          "u32or", "u32xor", "u32shl", "u32shr", "u32lt", "memstore")
 # ops that leave slots j >= 1 unchanged
-STAY_OPS = ("nop", "halt", "neg", "not", "inv", "eqz")
+STAY_OPS = ("nop", "halt", "neg", "not", "inv", "eqz",
+            "u32lo", "u32hi", "u32not", "memload")
+# ops whose top-of-stack result is nondeterministic in-AIR (pending the
+# range-check/bitwise/memory chiplets — documented gap; vm.cpp:40-43): the
+# next s0 is a free witness like advpush. u32add/u32sub are NOT here: they
+# are constrained exactly via the h0 carry/borrow witness.
+NONDET_TOP_OPS = ("advpush", "u32lo", "u32hi", "u32not", "u32mul", "u32div",
+                  "u32mod", "u32and", "u32or", "u32xor", "u32shl", "u32shr",
+                  "u32lt", "memload")
 # permutation ops: map j -> source slot (slots not listed stay)
 PERM = {
     "swap": {0: 1, 1: 0},
@@ -91,7 +106,8 @@ class MidenAir(Air):
         degs += [TransitionDegree(3)]                     # assert
         degs += [TransitionDegree(4)] * 2                 # boolean inputs
         degs += [TransitionDegree(3)]                     # h0 hygiene
-        degs += [TransitionDegree(1)] * 2                 # depth, ovf
+        degs += [TransitionDegree(1)]                     # depth
+        degs += [TransitionDegree(2)]                     # ovf counter
         degs += [TransitionDegree(2)] * 9                 # aux products
         assert len(degs) == 49
         return degs
@@ -154,10 +170,10 @@ class MidenAir(Air):
         dh = mul(d01, h0)            # 1 iff s0 != s1 (witnessed)
         zh = mul(s[0], h0)           # 1 iff s0 != 0 (witnessed)
         s0s1 = mul(s[0], s[1])
+        two32 = gf_full((m,), 1 << 32)
         top_result = {
             "nop": s[0], "halt": s[0],
             "push": imm, "drop": s[1],
-            "advpush": sn[0],        # nondeterministic: next value is free
             "add": add(s[0], s[1]), "sub": sub(s[1], s[0]),
             "mul": s0s1, "neg": sub(gf_zeros((m,)), s[0]),
             "eq": sub(one, dh), "neq": dh,
@@ -165,9 +181,18 @@ class MidenAir(Air):
             "not": sub(one, s[0]),
             "and": s0s1, "or": sub(add(s[0], s[1]), s0s1),
             "assert": s[1],
+            # u32 wrap-around, exact via h0 carry/borrow (sound given u32
+            # operands; operand range checks are the chiplet gap):
+            #   u32add: s0' = a + b - carry*2^32   (a=s1, b=s0)
+            #   u32sub: s0' = a - b + borrow*2^32
+            "u32add": sub(add(s[0], s[1]), mul(h0, two32)),
+            "u32sub": add(sub(s[1], s[0]), mul(h0, two32)),
+            "memstore": s[1],   # pop addr; stored value stays on top
         }
         for k in range(8):
             top_result[f"dup{k}"] = s[k]
+        for name in NONDET_TOP_OPS:
+            top_result[name] = sn[0]    # free witness (chiplet gap)
 
         # 17-32: stack updates. For j >= 1 every non-permutation op behaves
         # as its shift class (down: s[j-1], up: s[j+1], stay: s[j]), so the
@@ -194,7 +219,12 @@ class MidenAir(Air):
                     expr = add(expr, mul(flag[name], src0))
             else:
                 expr = mul(down_f, s[j - 1])
-                expr = add(expr, mul(up_f, s[j + 1] if j < 15 else zeros))
+                # j=15 under window-up: the slot is refilled from the LIFO
+                # overflow table (vm.cpp push_shift/pop_shift) — value
+                # nondeterministic in-AIR, only the net counter is
+                # constrained (constraint 39); full value soundness needs
+                # the overflow-bus argument (documented gap)
+                expr = add(expr, mul(up_f, s[j + 1] if j < 15 else sn[15]))
                 expr = add(expr, mul(stay_f, s[j]))
                 for name, perm in PERM.items():
                     expr = add(expr, mul(flag[name], s[perm.get(j, j)]))
@@ -208,6 +238,9 @@ class MidenAir(Air):
         w = mul(mul(add(flag["eq"], flag["neq"]), d01), sub(one, dh))
         w = add(w, mul(mul(flag["eqz"], s[0]), sub(one, zh)))
         w = add(w, mul(flag["inv"], sub(zh, one)))
+        #   u32add/u32sub: h0 is the carry/borrow bit -> boolean
+        carry_ops = add(flag["u32add"], flag["u32sub"])
+        w = add(w, mul(carry_ops, mul(h0, sub(h0, one))))
         out.append(w)
         # 34: assert pops a 1
         out.append(mul(flag["assert"], sub(s[0], one)))
@@ -219,10 +252,12 @@ class MidenAir(Air):
         # 37: h0 hygiene — zero outside its witnessing ops
         users = add(add(flag["eq"], flag["neq"]), add(flag["eqz"],
                                                       flag["inv"]))
+        users = add(users, carry_ops)
         out.append(mul(sub(one, users), h0))
-        # 38-39: depth, overflow counter
+        # 38-39: depth constant; overflow net counter tracks the table size
+        # exactly: ovf' = ovf + (window-down) - (window-up)
         out.append(sub(nx(COL_DEPTH), c(COL_DEPTH)))
-        out.append(sub(nx(COL_OVF), c(COL_OVF)))
+        out.append(sub(nx(COL_OVF), sub(add(c(COL_OVF), down_f), up_f)))
 
         # 40-48: aux running products
         rands = [r if isinstance(r, GF) else gf_full((m,), r)

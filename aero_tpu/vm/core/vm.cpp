@@ -452,6 +452,9 @@ struct Executor {
         if (stack[0] == 0) { error = "inv of zero"; return false; }
         h0 = finv(stack[0]);
         break;
+      // u32 wrap-around witnesses (constrained exactly in the AIR):
+      case U32ADD: h0 = (stack[1] + stack[0]) >> 32; break;       // carry
+      case U32SUB: h0 = stack[1] < stack[0] ? 1 : 0; break;       // borrow
       default: break;
     }
     emit_row(ins.op, ins.imm, h0);
