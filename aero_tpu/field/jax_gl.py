@@ -223,6 +223,40 @@ def mul_scalar(a: GF, c: int) -> GF:
     return mul(a, b)
 
 
+def mul_pow2_const(a: GF, k: int) -> GF:
+    """a * 2^k mod p for a compile-time k — shifts + lazy folds, ZERO
+    vector multiplies. 2 has order 192 in Goldilocks (2^96 === -1), so
+    every 64th root of unity is a power of two; the NTT's small-order
+    twiddles (in particular w_4 = 2^48, used by every radix-4 butterfly)
+    take this path instead of the 16-mult limb product."""
+    k %= 192
+    negate = k >= 96
+    k %= 96
+    q, r = divmod(k, 32)
+    lo, hi = a.lo, a.hi
+    z = jnp.zeros_like(lo)
+    if r == 0:
+        parts = [lo, hi]             # statically only two limbs
+    else:
+        parts = [lo << r, (hi << r) | (lo >> (32 - r)), hi >> (32 - r)]
+    # 5-limb value with the parts at limb offset q (q in {0,1,2});
+    # absent limbs are statically zero and their folds are skipped
+    limbs = [None] * q + parts + [None] * (3 - len(parts) - q + 2)
+    c0, c1, c2, c3, c4 = limbs[:5]
+    # folds: 2^64 === 2^32 - 1, 2^96 === -1, 2^128 === -2^32  (mod p)
+    out = GF(c0 if c0 is not None else z, c1 if c1 is not None else z)
+    if c2 is not None:
+        out = add(out, GF(z, c2))
+        out = sub(out, GF(c2, z))
+    if c3 is not None:
+        out = sub(out, GF(c3, z))
+    if c4 is not None:
+        out = sub(out, GF(z, c4))
+    if negate:
+        out = sub(gf_zeros(a.shape), out)
+    return out
+
+
 def canonicalize(a: GF) -> GF:
     """Map lazy u64 representation into [0, p)."""
     # a >= p  iff  hi == 0xffffffff and lo >= 1... precisely: a >= p

@@ -25,7 +25,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..spec import field as F
-from ..field import GF, to_gf, add, sub, mul, gf_take, mul_scalar
+from ..field import (GF, to_gf, add, sub, mul, gf_take, mul_scalar,
+                     mul_pow2_const)
 
 
 class Twiddles:
@@ -55,6 +56,31 @@ class Twiddles:
         return [GF(jnp.asarray(lo), jnp.asarray(hi))
                 for lo, hi in cls._cache[key]]
 
+    _r4cache: Dict[Tuple[int, int, bool], tuple] = {}
+
+    @classmethod
+    def radix4(cls, log_n: int, s: int, invert: bool):
+        """Twiddles (w^j, w^2j, w^3j) for the fused stage pair (s, s+1),
+        w = the order-2^(s+1) root derived from the size-n primitive root;
+        j < 2^(s-1)."""
+        key = (log_n, s, invert)
+        if key not in cls._r4cache:
+            w = F.get_root_of_unity(log_n)
+            if invert:
+                w = F.inv(w)
+            wm2 = F.exp(w, 1 << (log_n - s - 1))    # order 2^(s+1)
+            half = 1 << (s - 1)
+
+            def limbs(base):
+                tw = np.array(F.get_power_series(base, half), dtype=np.uint64)
+                return ((tw & np.uint64(0xFFFFFFFF)).astype(np.uint32),
+                        (tw >> np.uint64(32)).astype(np.uint32))
+
+            cls._r4cache[key] = tuple(
+                limbs(F.exp(wm2, e)) for e in (1, 2, 3))
+        return tuple(GF(jnp.asarray(lo), jnp.asarray(hi))
+                     for lo, hi in cls._r4cache[key])
+
     @classmethod
     def bitrev(cls, log_n: int) -> np.ndarray:
         if log_n not in cls._bitrev:
@@ -67,27 +93,71 @@ class Twiddles:
         return cls._bitrev[log_n]
 
 
+def _radix2_stage(x: GF, n: int, s: int, tw: GF) -> GF:
+    batch = x.shape[:-1]
+    m = 1 << s
+    xr = x.reshape(batch + (n // m, 2, m // 2))
+    even = xr[..., 0, :]
+    odd = xr[..., 1, :]
+    t = mul(odd, GF(jnp.broadcast_to(tw.lo, odd.shape),
+                    jnp.broadcast_to(tw.hi, odd.shape)))
+    lo = add(even, t)
+    hi = sub(even, t)
+    return GF(jnp.concatenate([lo.lo[..., None, :], hi.lo[..., None, :]], axis=-2),
+              jnp.concatenate([lo.hi[..., None, :], hi.hi[..., None, :]], axis=-2)
+              ).reshape(batch + (n,))
+
+
 def _ntt_core(x: GF, log_n: int, invert: bool) -> GF:
+    """Radix-4 decimation-in-time over bit-reversed input.
+
+    Two consecutive radix-2 stages (s, s+1) fuse into one pass with
+    3 full twiddle muls + 1 shift-mul per 4 elements (w_4 = 2^48 is a
+    power of two in Goldilocks — mul_pow2_const) instead of 4 full muls
+    across 2 passes; the first pair (all twiddles 1) is mul-free.
+    Bit-exact vs the radix-2 formulation (same DFT, regrouped)."""
     n = 1 << log_n
     batch = x.shape[:-1]
-    # decimation in time: bit-reverse input, natural-order output
     rev = jnp.asarray(Twiddles.bitrev(log_n))
     x = gf_take(x, rev, axis=-1)
-    stages = Twiddles.stages(log_n, invert)
-    for s in range(1, log_n + 1):
+    k4 = 144 if invert else 48      # w_4 = 2^48, w_4^-1 = 2^144
+
+    def combine4(A, B, C, D, G, half):
+        # outputs of stages (s, s+1) for inputs at (a=0/1, b=0/1, j):
+        #   E0 = A+B', E1 = A-B', F0 = C'+D', F1 = w_4*(C'-D')
+        E0, E1 = add(A, B), sub(A, B)
+        F0 = add(C, D)
+        F1 = mul_pow2_const(sub(C, D), k4)
+        g0, g1 = add(E0, F0), add(E1, F1)
+        g2, g3 = sub(E0, F0), sub(E1, F1)
+        return GF(
+            jnp.stack([g0.lo, g1.lo, g2.lo, g3.lo], axis=-2),
+            jnp.stack([g0.hi, g1.hi, g2.hi, g3.hi], axis=-2),
+        ).reshape(batch + (n,))
+
+    s = 1
+    while s + 1 <= log_n:
         m = 1 << s
         half = m // 2
-        tw = stages[s - 1]  # shape (half,)
-        xr = x.reshape(batch + (n // m, 2, half))
-        even = xr[..., 0, :]
-        odd = xr[..., 1, :]
-        t = mul(odd, GF(jnp.broadcast_to(tw.lo, odd.shape),
-                        jnp.broadcast_to(tw.hi, odd.shape)))
-        lo = add(even, t)
-        hi = sub(even, t)
-        x = GF(jnp.concatenate([lo.lo[..., None, :], hi.lo[..., None, :]], axis=-2),
-               jnp.concatenate([lo.hi[..., None, :], hi.hi[..., None, :]], axis=-2)
-               ).reshape(batch + (n,))
+        G = n // (2 * m)
+        xr = x.reshape(batch + (G, 4, half))
+        A, B, C, D = xr[..., 0, :], xr[..., 1, :], xr[..., 2, :], xr[..., 3, :]
+        if s == 1:
+            # w_2^0 = w_4^0 = 1: no twiddle muls at all
+            x = combine4(A, B, C, D, G, half)
+        else:
+            t1, t2, t3 = Twiddles.radix4(log_n, s, invert)  # w^j, w^2j, w^3j
+
+            def bc(tw, ref):
+                return GF(jnp.broadcast_to(tw.lo, ref.shape),
+                          jnp.broadcast_to(tw.hi, ref.shape))
+
+            x = combine4(A, mul(B, bc(t2, B)), mul(C, bc(t1, C)),
+                         mul(D, bc(t3, D)), G, half)
+        s += 2
+    if s == log_n:  # odd log_n: one trailing radix-2 stage
+        tw = Twiddles.stages(log_n, invert)[s - 1]
+        x = _radix2_stage(x, n, s, tw)
     if invert:
         x = mul_scalar(x, F.inv(n))
     return x
