@@ -30,16 +30,27 @@ Transition constraints (49):
    36     boolean input s1 for and/or
    37     h0 hygiene: h0 = 0 except under eq/neq/eqz/inv
    38     depth' = depth
-   39     ovf' = ovf (overflow table not implemented — documented gap)
-   40-48  aux running products (9), using the 16 aux rand elements
+   39     ovf' = ovf + down - up (net overflow-table size counter)
+   40     overflow bus: aux0'*del = aux0*ins — multiset argument over the
+          LIFO overflow table rows (addr=clk+1, value, prev), rands 12-15;
+          with the aux0[0]=aux0[n-1]=1 boundary this makes every value
+          restored into s15 by a window-up op SOUND (it must equal a
+          previously parked value, in LIFO order via the prev chain)
+   41     b1 (overflow-top address, col 35) bookkeeping
+   42-43  emptiness flag soundness: e=1 <=> b1=0 (cols 36-37, inv witness)
+   44     pop from an empty table refills s15 with 0
+   45-48  filler running products on aux1-aux4 (golden-shape padding;
+          aux5-aux8 are unconstrained padding columns)
 
 Assertions (7): clk[0]=0, s0[0], s1[0] bound to the input stack,
-s0[n-1], s1[n-1] bound to the output stack, depth[0]=16, aux0[0]=1.
+s0[n-1], s1[n-1] bound to the output stack, aux0[0]=1, aux0[n-1]=1
+(overflow table drained — proved programs must end with a balanced
+overflow table).
 
 Documented gaps (also flagged in vm.cpp): program-ROM binding of the
-executed ops to the program hash, the stack-overflow table, u32/range
-chiplets, and memory (columns 35-71 are committed as zeros and
-constrained only implicitly by the boundary of the zero polynomial).
+executed ops to the program hash, u32/range/bitwise/memory chiplets
+(columns 38-71 are committed as zeros and constrained only implicitly by
+the boundary of the zero polynomial).
 """
 
 from __future__ import annotations
@@ -50,9 +61,11 @@ import jax.numpy as jnp
 
 from ..spec import field as F
 from ..spec.proof import PublicInputs
-from ..field import (GF, add, sub, mul, mul_scalar, gf_full, gf_zeros)
+from ..field import (GF, add, sub, mul, mul_scalar, gf_full, gf_zeros,
+                     to_gf)
 from ..vm import (COL_CLK, COL_G, COL_M, NUM_GROUPS, NUM_MEMBERS, COL_IMM,
-                  COL_STACK, COL_DEPTH, COL_OVF, COL_H0, NUM_OPS, OPS)
+                  COL_STACK, COL_DEPTH, COL_OVF, COL_H0, COL_B1, COL_E,
+                  COL_K, NUM_OPS, OPS)
 from .air import Air, Assertion, TransitionDegree
 
 OP = {name: i for i, name in enumerate(OPS)}
@@ -108,7 +121,11 @@ class MidenAir(Air):
         degs += [TransitionDegree(3)]                     # h0 hygiene
         degs += [TransitionDegree(1)]                     # depth
         degs += [TransitionDegree(2)]                     # ovf counter
-        degs += [TransitionDegree(2)] * 9                 # aux products
+        degs += [TransitionDegree(5)]                     # overflow bus
+        degs += [TransitionDegree(4)]                     # b1 update
+        degs += [TransitionDegree(2)] * 2                 # emptiness e/k
+        degs += [TransitionDegree(4)]                     # s15' = 0 on empty pop
+        degs += [TransitionDegree(2)] * 4                 # filler aux products
         assert len(degs) == 49
         return degs
 
@@ -125,7 +142,11 @@ class MidenAir(Air):
             Assertion(COL_STACK + 1, 0, top_in[1]),
             Assertion(COL_STACK, n - 1, out[0]),
             Assertion(COL_STACK + 1, n - 1, out[1]),
-            Assertion(COL_DEPTH, 0, 16),
+            # overflow bus boundary: aux0 starts AND ends at 1 — the
+            # multiset of inserted overflow rows equals the multiset of
+            # deleted ones, i.e. the table is empty again on the final row
+            # (proved programs must drain their overflow table)
+            Assertion(72, n - 1, 1, is_aux=True),
             Assertion(72, 0, 1, is_aux=True),   # aux0[0] = 1
         ]
 
@@ -259,7 +280,7 @@ class MidenAir(Air):
         out.append(sub(nx(COL_DEPTH), c(COL_DEPTH)))
         out.append(sub(nx(COL_OVF), sub(add(c(COL_OVF), down_f), up_f)))
 
-        # 40-48: aux running products
+        # 40-48: overflow bus (aux0) + bookkeeping + filler aux products
         rands = [r if isinstance(r, GF) else gf_full((m,), r)
                  for r in aux_rand]
 
@@ -268,12 +289,46 @@ class MidenAir(Air):
                       jnp.broadcast_to(r.hi, (m,)))
 
         g = [bcast(r) if r.shape != (m,) else r for r in rands]
-        for k in range(8):
+
+        # Overflow-table multiset bus on aux column 0 (rands 12-15):
+        # every window-down op inserts the row (addr=clk+1, value=s15,
+        # prev=b1); every window-up op on a non-empty table deletes the
+        # row (b1, s15', b1') — the restored s15' and the new table top
+        # b1' are forced (Schwartz-Zippel over the drawn alphas) to match
+        # a previously inserted row, and addr uniqueness + the prev
+        # pointer chain force LIFO order. aux0'*del = aux0*ins; boundary
+        # aux0[0] = aux0[n-1] = 1 proves the table drains.
+        b1 = c(COL_B1)
+        bn1 = nx(COL_B1)
+        e = c(COL_E)
+        kinv = c(COL_K)
+        clk = c(COL_CLK)
+        l_ins = add(add(g[12], mul(g[13], add(clk, one))),
+                    add(mul(g[14], s[15]), mul(g[15], b1)))
+        l_del = add(add(g[12], mul(g[13], b1)),
+                    add(mul(g[14], sn[15]), mul(g[15], bn1)))
+        ins_f = add(one, mul(down_f, sub(l_ins, one)))
+        pop_f = mul(up_f, sub(one, e))      # pop from a non-empty table
+        del_f = add(one, mul(pop_f, sub(l_del, one)))
+        out.append(sub(mul(aux_nxt[0], del_f), mul(aux_cur[0], ins_f)))
+        # 41: b1 bookkeeping — down: b1'=clk+1; up on empty: b1'=0 (stays
+        # empty); stay/perm: b1'=b1. (up on non-empty leaves b1' free: the
+        # bus pins it to the deleted row's prev pointer.)
+        c_b1 = mul(down_f, sub(bn1, add(clk, one)))
+        c_b1 = add(c_b1, mul(mul(up_f, e), bn1))
+        c_b1 = add(c_b1, mul(sub(one, add(down_f, up_f)), sub(bn1, b1)))
+        out.append(c_b1)
+        # 42-43: emptiness flag soundness: e=1 <=> b1=0 (k = b1^-1 witness)
+        out.append(mul(e, b1))
+        out.append(sub(mul(b1, kinv), sub(one, e)))
+        # 44: pop from an EMPTY table refills s15 with 0
+        out.append(mul(mul(up_f, e), sn[15]))
+        # 45-48: filler running products (columns aux1-aux4, golden-shape
+        # padding; aux5-aux8 are unconstrained padding columns)
+        for k in range(1, 5):
             factor = add(add(g[2 * k], s[k * 2]),
                          mul(g[2 * k + 1], s[k * 2 + 1]))
             out.append(sub(aux_nxt[k], mul(aux_cur[k], factor)))
-        factor8 = add(g[0], mul(g[1], c(COL_CLK)))
-        out.append(sub(aux_nxt[8], mul(aux_cur[8], factor8)))
 
         assert len(out) == 49
         return out
@@ -281,14 +336,45 @@ class MidenAir(Air):
     # ------------------------------------------------------------- aux trace
 
     def build_aux_trace(self, main_trace: GF, aux_rand: Sequence[int]) -> GF:
-        """Running products (shifted cumulative products of the factors)."""
+        """aux0 = overflow-bus running product (host-exact, the factors
+        come straight off the committed trace columns); aux1-aux8 =
+        golden-shape filler running products."""
         import jax
-        from ..field import mul as gmul
+        from ..field import mul as gmul, from_gf
         n = main_trace.shape[-1]
         s = [main_trace[COL_STACK + j] for j in range(16)]
         clk = main_trace[COL_CLK]
+
+        # --- aux0: overflow bus ------------------------------------------
+        tr = from_gf(main_trace)   # (72, n) uint64 on host
+        p = F.P
+        r12, r13, r14, r15 = (int(aux_rand[i]) % p for i in (12, 13, 14, 15))
+        gsel = tr[COL_G:COL_G + NUM_GROUPS].argmax(axis=0)
+        msel = tr[COL_M:COL_M + NUM_MEMBERS].argmax(axis=0)
+        ops = gsel * 8 + msel
+        down = {OP[nm] for nm in DOWN_OPS}
+        up = {OP[nm] for nm in UP_OPS}
+        s15 = tr[COL_STACK + 15]
+        b1 = tr[COL_B1]
+        clk_h = tr[COL_CLK]
+        bus = [1]
+        acc = 1
+        for i in range(n - 1):
+            o = int(ops[i])
+            if o in down:
+                ins = (r12 + r13 * (int(clk_h[i]) + 1) + r14 * int(s15[i])
+                       + r15 * int(b1[i])) % p
+                acc = acc * ins % p
+            elif o in up and int(b1[i]) != 0:
+                dl = (r12 + r13 * int(b1[i]) + r14 * int(s15[i + 1])
+                      + r15 * int(b1[i + 1])) % p
+                acc = acc * pow(dl, p - 2, p) % p
+            bus.append(acc)
+        aux0 = to_gf(bus)
+
+        # --- aux1-aux8: filler products ----------------------------------
         factors = []
-        for k in range(8):
+        for k in range(1, 8):
             factor = add(add(gf_full((n,), aux_rand[2 * k]), s[2 * k]),
                          mul_scalar(s[2 * k + 1], aux_rand[2 * k + 1]))
             factors.append(factor)
@@ -298,9 +384,11 @@ class MidenAir(Air):
                      jnp.stack([f.hi for f in factors]))
         prod = jax.lax.associative_scan(gmul, stacked, axis=-1)
         # aux[i] = product of factors[0..i-1]; aux[0] = 1
-        onecol = gf_full((9, 1), 1)
-        return GF(jnp.concatenate([onecol.lo, prod.lo[:, :-1]], axis=1),
-                  jnp.concatenate([onecol.hi, prod.hi[:, :-1]], axis=1))
+        onecol = gf_full((8, 1), 1)
+        fill_lo = jnp.concatenate([onecol.lo, prod.lo[:, :-1]], axis=1)
+        fill_hi = jnp.concatenate([onecol.hi, prod.hi[:, :-1]], axis=1)
+        return GF(jnp.concatenate([aux0.lo[None, :], fill_lo], axis=0),
+                  jnp.concatenate([aux0.hi[None, :], fill_hi], axis=0))
 
 
 def make_public_inputs(program_hash: List[int],

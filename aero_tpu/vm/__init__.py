@@ -33,6 +33,9 @@ COL_STACK = 16   # s0..s15
 COL_DEPTH = 32
 COL_OVF = 33
 COL_H0 = 34
+COL_B1 = 35   # newest overflow-row address (0 = table empty)
+COL_E = 36    # emptiness flag (1 iff b1 == 0)
+COL_K = 37    # inverse witness b1^-1
 
 # op index = group*8 + member; order must match vm.cpp's enum
 OPS = [

@@ -19,7 +19,10 @@
 //   column 33     : overflow net counter (#window-down - #window-up ops,
 //                   as a field element; tracks the overflow-table size)
 //   column 34     : helper column h0 (inverse witness for eq/neq/eqz/inv)
-//   columns 35-71 : reserved chiplet columns (zero; see aero_tpu/air/miden.py
+//   column 35     : b1 — address of the newest overflow-table row (0=empty)
+//   column 36     : e  — table-emptiness flag (1 iff b1 == 0)
+//   column 37     : k  — inverse witness b1^-1 (0 when empty)
+//   columns 38-71 : reserved chiplet columns (zero; see aero_tpu/air/miden.py
 //                   for the constraint inventory and documented gaps)
 //
 // The two-level selector encoding keeps the AIR at the reference
@@ -35,10 +38,12 @@
 // Fixed-window stack semantics with an overflow table: a value shifted
 // past s15 by a window-down op is parked in a LIFO overflow table and
 // restored by the next window-up op, so programs of any stack depth run.
-// In-AIR the restored slot is nondeterministic (like advpush) and only the
-// net counter is constrained — full value soundness of the restore needs
-// the overflow-bus argument (documented gap). Likewise the u32/mem ops'
-// results are nondeterministic in-AIR pending range-check/memory chiplets;
+// The restored value IS constrained: the overflow-bus multiset argument
+// (aux column 0 + columns 35-37, aero_tpu/air/miden.py constraints 40-44)
+// proves every restored s15 was previously parked, in LIFO order, and
+// that the table is empty again on the final row — *proved* programs must
+// therefore end with a balanced overflow table. The u32/mem ops' results
+// remain nondeterministic in-AIR pending range-check/memory chiplets;
 // the reference's own verifier evaluates NO constraints at all (its
 // evaluator is stubbed, stark_verifier.cairo:152-159).
 //
@@ -114,6 +119,12 @@ constexpr int COL_STACK = 16;  // s0..s15
 constexpr int COL_DEPTH = 32;
 constexpr int COL_OVF = 33;
 constexpr int COL_H0 = 34;
+// Overflow-bus bookkeeping (value soundness of the LIFO overflow table,
+// enforced by the aux-column-0 multiset argument in aero_tpu/air/miden.py):
+constexpr int COL_B1 = 35;   // address (insertion clk+1) of the newest
+                             // overflow row; 0 = table empty
+constexpr int COL_E = 36;    // emptiness flag: 1 iff b1 == 0
+constexpr int COL_K = 37;    // inverse witness: k = b1^-1 when b1 != 0
 
 struct Instr {
   Op op;
@@ -381,9 +392,14 @@ struct Assembler {
 
 // --- executor --------------------------------------------------------------
 
+struct OvfRow {
+  u64 addr;  // insertion clk + 1 (unique, strictly increasing, never 0)
+  u64 val;   // the parked value
+};
+
 struct Executor {
-  std::vector<u64> stack;    // s0 = front (fixed 16-slot window)
-  std::vector<u64> overflow; // values shifted past s15 (LIFO), restored on pops
+  std::vector<u64> stack;      // s0 = front (fixed 16-slot window)
+  std::vector<OvfRow> overflow;  // LIFO table of values shifted past s15
   std::map<u64, u64> memory; // random-access word memory (default 0)
   std::vector<std::vector<u64>> rows;
   std::vector<u64> advice;
@@ -410,17 +426,23 @@ struct Executor {
     row[COL_DEPTH] = 16;
     row[COL_OVF] = ovf_ctr;
     row[COL_H0] = h0;
+    u64 b1 = overflow.empty() ? 0 : overflow.back().addr;
+    row[COL_B1] = b1;
+    row[COL_E] = b1 ? 0 : 1;
+    row[COL_K] = b1 ? finv(b1) : 0;
     rows.push_back(std::move(row));
     ++clk;
   }
 
-  // Window-down: the value leaving s15 is parked in the overflow table and
-  // restored (LIFO) by the next window-up op; the AIR tracks only the net
-  // counter (ovf' = ovf + down - up, column 33) — value soundness of the
-  // restore needs the overflow-bus argument (documented gap, the restored
-  // slot is nondeterministic like advpush).
+  // Window-down: the value leaving s15 is parked in the overflow table
+  // (with its insertion address clk+1, used as the unique row id of the
+  // aux-column-0 multiset bus) and restored LIFO by the next window-up
+  // op. The bus argument makes the restored value *sound*: the deleted
+  // tuple (b1, s15', b1') must match a previously inserted row, and the
+  // prev-pointer chain forces LIFO order (aero_tpu/air/miden.py:40-44).
   bool push_shift(u64 v) {
-    overflow.push_back(stack[15]);
+    overflow.push_back({clk, stack[15]});  // clk was ++'d by emit_row:
+                                           // addr = row_clk + 1
     for (int j = 15; j > 0; --j) stack[j] = stack[j - 1];
     stack[0] = v;
     ovf_ctr = fadd(ovf_ctr, 1);
@@ -429,7 +451,7 @@ struct Executor {
   void pop_shift() {
     for (int j = 0; j < 15; ++j) stack[j] = stack[j + 1];
     if (!overflow.empty()) {
-      stack[15] = overflow.back();
+      stack[15] = overflow.back().val;
       overflow.pop_back();
     } else {
       stack[15] = 0;

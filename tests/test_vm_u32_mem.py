@@ -116,15 +116,38 @@ class TestU32Proofs:
             push.9 push.10 push.11 push.12 push.13 push.14 push.15
             drop drop drop drop drop drop drop drop
             drop drop drop drop drop drop drop
+            drop drop     # drain the overflow table (bus boundary: empty)
         end
         """
         proof, pub, air = self._prove(src, [0, 0])
         verify(proof, pub, air=air)
 
+    def test_forged_overflow_restore_rejected(self):
+        # the overflow-bus multiset argument (aux0 + cols 35-37) makes the
+        # value restored into s15 by a window-up op SOUND: tampering it in
+        # the trace must fail verification. Program parks a REAL value
+        # (77 dup'd past the window) and restores it.
+        src = ("begin " + " ".join(f"push.{i}" for i in range(1, 18))
+               + " " + " ".join("drop" for _ in range(17)) + " end")
+        trace, out_stack = execute(src, [77], min_rows=64)
+        from aero_tpu.vm import COL_STACK, COL_B1
+        # find a pop row where s15 was restored from the table (b1 shrank)
+        rows = np.where(trace[COL_B1][1:] < trace[COL_B1][:-1])[0]
+        rowi = int(rows[0]) + 1
+        trace[COL_STACK + 15, rowi] = 4242
+        pub = make_public_inputs(program_hash(src), [77], out_stack)
+        air = MidenAir(trace.shape[1], pub, self.OPTS)
+        from aero_tpu.prover import prove
+        proof = prove(air, to_gf(trace), pub)
+        with pytest.raises(VerificationError):
+            verify(proof, pub, air=air)
+
     def test_forged_u32add_carry_rejected(self):
         # u32add is exactly constrained: tampering the result in the trace
         # must fail the full (air=) verification
-        src = "begin push.7 push.8 u32add end"
+        # balanced program (net-0 overflow) so the honest version would
+        # verify and the forgery is what gets rejected
+        src = "begin push.7 push.8 u32add drop end"
         trace, out_stack = execute(src, [0, 0], min_rows=64)
         rowi = 3  # row AFTER u32add executes carries its result in s0
         from aero_tpu.vm import COL_STACK

@@ -154,6 +154,8 @@ def wide_proof():
         inv
         push.1 assert
         eqz
+        drop drop drop      # drain the overflow table (net-0 requirement:
+                            # the bus boundary asserts it empties)
     end
     """
     trace, out_stack = execute(src, [3, 1, 4, 1, 5], advice_tape=[9],
