@@ -42,10 +42,13 @@ Transition constraints (49):
    45-48  filler running products on aux1-aux4 (golden-shape padding;
           aux5-aux8 are unconstrained padding columns)
 
-Assertions (7): clk[0]=0, s0[0], s1[0] bound to the input stack,
-s0[n-1], s1[n-1] bound to the output stack, aux0[0]=1, aux0[n-1]=1
+Assertions (35): clk[0]=0, s0..s15[0] bound to the full input stack,
+s0..s15[n-1] bound to the full output stack, aux0[0]=1, aux0[n-1]=1
 (overflow table drained — proved programs must end with a balanced
-overflow table).
+overflow table). The golden vector's 7-assertion shape bound only
+s0/s1; binding all 16 slots closes the claimed-output forgery hole at
+the cost of a documented assertion-count change (proof layout is
+unchanged; only the number of boundary coefficient draws grows).
 
 Documented gaps (also flagged in vm.cpp): program-ROM binding of the
 executed ops to the program hash, u32/range/bitwise/memory chiplets
@@ -130,18 +133,26 @@ class MidenAir(Air):
         return degs
 
     def get_assertions(self) -> List[Assertion]:
+        """ALL 16 input and output stack slots are bound (35 assertions).
+
+        The golden vector's shape is 7 assertions (air_instance.cairo:111)
+        which binds only a prefix; that left output slots 2-15 of the
+        claimed PublicInputs unconstrained — a soundness hole this AIR
+        closes at the cost of a documented shape change (the assertion
+        count only affects how many composition-coefficient pairs are
+        drawn; proof layout is unchanged). The reference binds full
+        program outputs (miden-proof-generator/src/main.rs:35-38)."""
         n = self.trace_length
         pub = self.pub_inputs
         # stack_inputs are serialized bottom-first in the golden encoding;
         # reverse to get the top-first execution view
-        top_in = list(reversed(pub.stack_inputs)) + [0, 0]
-        out = list(pub.output_stack) + [0, 0]
-        return [
-            Assertion(COL_CLK, 0, 0),
-            Assertion(COL_STACK, 0, top_in[0]),
-            Assertion(COL_STACK + 1, 0, top_in[1]),
-            Assertion(COL_STACK, n - 1, out[0]),
-            Assertion(COL_STACK + 1, n - 1, out[1]),
+        top_in = (list(reversed(pub.stack_inputs)) + [0] * 16)[:16]
+        out = (list(pub.output_stack) + [0] * 16)[:16]
+        asserts = [Assertion(COL_CLK, 0, 0)]
+        for j in range(16):
+            asserts.append(Assertion(COL_STACK + j, 0, top_in[j]))
+            asserts.append(Assertion(COL_STACK + j, n - 1, out[j]))
+        asserts += [
             # overflow bus boundary: aux0 starts AND ends at 1 — the
             # multiset of inserted overflow rows equals the multiset of
             # deleted ones, i.e. the table is empty again on the final row
@@ -149,6 +160,7 @@ class MidenAir(Air):
             Assertion(72, n - 1, 1, is_aux=True),
             Assertion(72, 0, 1, is_aux=True),   # aux0[0] = 1
         ]
+        return asserts
 
     # ------------------------------------------------------------ constraints
 

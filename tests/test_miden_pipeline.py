@@ -71,7 +71,7 @@ class TestMidenProofs:
         lay = proof.context.layout
         assert (lay.main_width, lay.aux_width, lay.aux_rands[0]) == (72, 9, 16)
         assert air.num_transition_constraints == 49
-        assert air.num_assertions == 7
+        assert air.num_assertions == 35
         assert len(proof.ood_frame.constraint_evaluations()) == 8
 
     def test_verifies_with_full_constraint_check(self, miden_proof):
@@ -89,6 +89,30 @@ class TestMidenProofs:
         bad = make_public_inputs(pub.program_hash,
                                  list(reversed(pub.stack_inputs)),
                                  [56, 34])
+        bad_air = MidenAir(air.trace_length, bad, OPTS)
+        with pytest.raises(VerificationError):
+            verify(proof, bad, air=bad_air)
+
+    def test_rejects_tampered_high_output_slot(self, miden_proof):
+        # ALL 16 output-stack slots are bound by boundary assertions (the
+        # golden 7-assertion shape left slots 2-15 free — a claimed-output
+        # forgery hole). Tampering slot 5 of the claim must fail.
+        proof, pub, air = miden_proof
+        outs = list(pub.output_stack)
+        outs[5] = 31337
+        bad = make_public_inputs(pub.program_hash,
+                                 list(reversed(pub.stack_inputs)), outs)
+        bad_air = MidenAir(air.trace_length, bad, OPTS)
+        with pytest.raises(VerificationError):
+            verify(proof, bad, air=bad_air)
+
+    def test_rejects_tampered_input_slot(self, miden_proof):
+        proof, pub, air = miden_proof
+        ins = list(reversed(pub.stack_inputs))
+        ins = (ins + [0] * 16)[:16]
+        ins[9] = 777
+        bad = make_public_inputs(pub.program_hash, ins,
+                                 list(pub.output_stack))
         bad_air = MidenAir(air.trace_length, bad, OPTS)
         with pytest.raises(VerificationError):
             verify(proof, bad, air=bad_air)

@@ -179,7 +179,7 @@ class TestWideProof:
         assert ctx.layout.main_width == 72
         assert ctx.layout.aux_widths == [9]
         assert air.num_transition_constraints == 49
-        assert air.num_assertions == 7
+        assert air.num_assertions == 35
 
     def test_rejects_wrong_output(self, wide_proof):
         proof, pub, air = wide_proof
