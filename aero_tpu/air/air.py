@@ -175,6 +175,9 @@ class Air:
         n = self.trace_length
         g = self.trace_generator
         aux_rand = aux_rand_elements[0] if aux_rand_elements else []
+        # rand-dependent boundary assertion values (e.g. MidenAir's ROM
+        # static-product boundary) read the rands off the air instance
+        self._aux_rand = list(aux_rand) or None
 
         t_evals = self.evaluate_transitions_scalar(mc, mn, ac, an, aux_rand)
         assert len(t_evals) == self.num_transition_constraints

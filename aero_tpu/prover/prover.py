@@ -196,6 +196,10 @@ def stage_constraint_eval(air: Air, st: ProverState) -> None:
     g_trace = air.trace_generator
     w_lde = air.lde_generator
 
+    # rand-dependent boundary assertions (e.g. MidenAir's ROM product)
+    # need the aux rands on the air even when resuming past aux_commit
+    air._aux_rand = [int(x) % F.P for x in st.aux_rand] or None
+
     cc_transition = [st.coin.draw_pair()
                      for _ in range(air.num_transition_constraints)]
     cc_boundary = [st.coin.draw_pair() for _ in range(air.num_assertions)]

@@ -184,7 +184,7 @@ def prove(program: pb.MidenProgram, inputs: pb.MidenProgramInputs,
                                min_rows=min_rows)
     pub = make_public_inputs(program_hash(program.program),
                              list(reversed(stack_init)), out_stack)
-    air = MidenAir(trace.shape[1], pub, opts)
+    air = MidenAir(trace.shape[1], pub, opts, program=program.program)
     proof = run_prover(air, to_gf(trace), pub)
 
     pub_pb = public_inputs_to_pb(pub)

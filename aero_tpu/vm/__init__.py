@@ -1,10 +1,12 @@
 """Miden-assembly-subset VM: Python binding over the native C++ core.
 
 The executor (aero_tpu/vm/core/vm.cpp) assembles and runs the program,
-emitting the 72-column execution trace directly into a numpy buffer
-(column-major). The reference analog is the forked miden-vm processor
-invoked at aero-sdk/miden-wasm/src/proving_worker.rs:225-234; the advice
-tape mirrors ProgramInputs.advice_tape (miden_prover.proto).
+emitting the 72-column execution trace — main columns, pc, AND the
+chiplet regions (bits-family blocks, memory rows, program ROM) —
+directly into a numpy buffer (column-major). The reference analog is the
+forked miden-vm processor invoked at
+aero-sdk/miden-wasm/src/proving_worker.rs:225-234; the advice tape
+mirrors ProgramInputs.advice_tape (miden_prover.proto).
 """
 
 from __future__ import annotations
@@ -30,12 +32,31 @@ NUM_GROUPS = 6
 NUM_MEMBERS = 8
 COL_IMM = 15
 COL_STACK = 16   # s0..s15
-COL_DEPTH = 32
+COL_PC = 32      # program counter (bound to the program ROM)
 COL_OVF = 33
 COL_H0 = 34
 COL_B1 = 35   # newest overflow-row address (0 = table empty)
 COL_E = 36    # emptiness flag (1 iff b1 == 0)
 COL_K = 37    # inverse witness b1^-1
+# chiplet region (see vm.cpp header for the full map)
+CH_CA = 38    # bits-family block active
+CH_CM = 39    # memory row active
+CH_CF = 40    # first row of a block
+CH_CL = 41    # block label
+CH_C1 = 42    # bitwise z coefficients
+CH_C2 = 43
+CH_BITS = 44  # 16 cols of value bits (4 nibbles)
+CH_ACC = 60   # 4 accumulator cols
+CH_ACCZ = 64
+CH_SH = 65    # 5 shift-bit cols
+CH_P2 = 70
+CH_CW = 71
+# memory-row / ROM-row views (share 44-48 on their own rows)
+CH_MA = 44    # memory addr; doubles as the ROM-row CR flag
+CH_MCLK = 45  # memory clk / ROM pc
+CH_MV = 46    # memory value / ROM op
+CH_MW = 47    # memory is_write / ROM imm
+CH_MG = 48    # memory same-addr flag / ROM multiplicity
 
 # op index = group*8 + member; order must match vm.cpp's enum
 OPS = [
@@ -60,7 +81,7 @@ NUM_OPS = len(OPS)
 
 def set_op_selectors(row: np.ndarray, op_name: str) -> None:
     """Zero + set the two-level selector columns of a trace row (host-side
-    trace surgery in tests / halt padding)."""
+    trace surgery in tests)."""
     idx = OPS.index(op_name)
     row[COL_G:COL_G + NUM_GROUPS] = 0
     row[COL_M:COL_M + NUM_MEMBERS] = 0
@@ -89,7 +110,12 @@ def _load():
             ctypes.POINTER(ctypes.c_uint64), ctypes.c_longlong,
             ctypes.POINTER(ctypes.c_uint64), ctypes.c_longlong,
             ctypes.POINTER(ctypes.c_uint64), ctypes.c_longlong,
+            ctypes.c_longlong,
             ctypes.POINTER(ctypes.c_uint64)]
+        _lib.vm_rom.restype = ctypes.c_longlong
+        _lib.vm_rom.argtypes = [
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_uint64), ctypes.c_longlong]
         _lib.vm_last_error.restype = ctypes.c_char_p
     return _lib
 
@@ -105,8 +131,9 @@ def execute(source: str, stack_inputs: Sequence[int],
     """Assemble + execute. stack_inputs are top-first; advice_tape feeds
     adv.push (nondeterministic inputs, not part of the public statement).
 
-    Returns (trace, output_stack): trace uint64[72, n] with n a power of 2,
-    output_stack = final 16 stack slots (top-first)."""
+    Returns (trace, output_stack): trace uint64[72, n] with n a power of 2
+    (>= min_rows, sized so the chiplet regions fit), output_stack = final
+    16 stack slots (top-first)."""
     lib = _load()
     inputs = np.asarray(list(stack_inputs), dtype=np.uint64)
     adv = np.asarray(list(advice_tape or []), dtype=np.uint64)
@@ -117,30 +144,41 @@ def execute(source: str, stack_inputs: Sequence[int],
         inputs.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)), len(inputs),
         adv.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)), len(adv),
         trace.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
-        max_rows, stack_out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)))
+        max_rows, min_rows,
+        stack_out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)))
     if n < 0:
         raise VmError(lib.vm_last_error().decode())
     n = int(n)
     tr = trace[:NUM_COLS * n].reshape(NUM_COLS, n).copy()
-    if n < min_rows:
-        # extend with halt rows (state frozen, clk advances)
-        ext = np.zeros((NUM_COLS, min_rows), dtype=np.uint64)
-        ext[:, :n] = tr
-        for r in range(n, min_rows):
-            ext[:, r] = ext[:, n - 1]
-            ext[COL_CLK, r] = r
-            set_op_selectors(ext[:, r], "halt")
-        tr = ext
     return tr, [int(x) for x in stack_out]
+
+
+def rom_listing(source: str) -> List[Tuple[int, int, int]]:
+    """Assemble `source` and return the program-ROM listing as
+    (pc, op_index, imm) triples, including the final (len, halt, 0)
+    entry — the static table the verifier's program-aware binding
+    recomputes (aero_tpu/air/miden.py _rom_product)."""
+    lib = _load()
+    max_entries = 1 << 20
+    buf = np.zeros(3 * max_entries, dtype=np.uint64)
+    n = lib.vm_rom(source.encode(),
+                   buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+                   max_entries)
+    if n < 0:
+        raise VmError(lib.vm_last_error().decode())
+    out = buf[:3 * int(n)].reshape(int(n), 3)
+    return [(int(a), int(b), int(c)) for a, b, c in out]
 
 
 def program_hash(source: str) -> List[int]:
     """Program commitment: blake2s-256 of the canonical source tokens,
     as 4 field elements (u64 LE words reduced mod p).
 
-    The reference uses the miden MAST root (program.hash(), main.rs:35);
-    binding of this hash to the executed trace is a documented gap
-    (requires the program-ROM bus argument)."""
+    The reference uses the miden MAST root (program.hash(), main.rs:35).
+    This hash IS bound to the executed trace: the verifier checks it
+    against the supplied source, assembles the source, and pins the
+    committed program-ROM chiplet to the listing via the aux3 product
+    boundary (aero_tpu/air/miden.py)."""
     P = (1 << 64) - (1 << 32) + 1
     canon = " ".join(source.split()).encode()
     d = hashlib.blake2s(canon).digest()

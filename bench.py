@@ -147,7 +147,7 @@ def bench_proof(min_rows=1 << 10, grind=16):
     pub = make_public_inputs(program_hash(src), [0, 1], out_stack)
     opts = ProofOptions(num_queries=27, blowup_factor=8,
                         grinding_factor=grind)
-    air = MidenAir(trace.shape[1], pub, opts)
+    air = MidenAir(trace.shape[1], pub, opts, program=src)
     gtrace = to_gf(trace)
     prove(air, gtrace, pub)          # warm the compile caches
     t0 = time.perf_counter()

@@ -59,7 +59,7 @@ def miden_proof():
     src = fibonacci_source(10)
     trace, out_stack = execute(src, [0, 1], min_rows=64)
     pub = make_public_inputs(program_hash(src), [0, 1], out_stack)
-    air = MidenAir(trace.shape[1], pub, OPTS)
+    air = MidenAir(trace.shape[1], pub, OPTS, program=src)
     from aero_tpu.prover import prove
     proof = prove(air, to_gf(trace), pub)
     return proof, pub, air
@@ -70,8 +70,8 @@ class TestMidenProofs:
         proof, pub, air = miden_proof
         lay = proof.context.layout
         assert (lay.main_width, lay.aux_width, lay.aux_rands[0]) == (72, 9, 16)
-        assert air.num_transition_constraints == 49
-        assert air.num_assertions == 35
+        assert air.num_transition_constraints == 106
+        assert air.num_assertions == 41
         assert len(proof.ood_frame.constraint_evaluations()) == 8
 
     def test_verifies_with_full_constraint_check(self, miden_proof):
@@ -89,7 +89,7 @@ class TestMidenProofs:
         bad = make_public_inputs(pub.program_hash,
                                  list(reversed(pub.stack_inputs)),
                                  [56, 34])
-        bad_air = MidenAir(air.trace_length, bad, OPTS)
+        bad_air = MidenAir(air.trace_length, bad, OPTS, program=air.program)
         with pytest.raises(VerificationError):
             verify(proof, bad, air=bad_air)
 
@@ -102,7 +102,7 @@ class TestMidenProofs:
         outs[5] = 31337
         bad = make_public_inputs(pub.program_hash,
                                  list(reversed(pub.stack_inputs)), outs)
-        bad_air = MidenAir(air.trace_length, bad, OPTS)
+        bad_air = MidenAir(air.trace_length, bad, OPTS, program=air.program)
         with pytest.raises(VerificationError):
             verify(proof, bad, air=bad_air)
 
@@ -113,7 +113,7 @@ class TestMidenProofs:
         ins[9] = 777
         bad = make_public_inputs(pub.program_hash, ins,
                                  list(pub.output_stack))
-        bad_air = MidenAir(air.trace_length, bad, OPTS)
+        bad_air = MidenAir(air.trace_length, bad, OPTS, program=air.program)
         with pytest.raises(VerificationError):
             verify(proof, bad, air=bad_air)
 
@@ -126,7 +126,7 @@ class TestMidenProofs:
         src = fibonacci_source(9)  # one fewer iteration -> outputs [34, 21]
         trace, out_stack = execute(src, [0, 1], min_rows=64)
         pub = make_public_inputs(program_hash(src), [0, 1], [55, 34])
-        air = MidenAir(trace.shape[1], pub, OPTS)
+        air = MidenAir(trace.shape[1], pub, OPTS, program=src)
         from aero_tpu.prover import prove
         proof = prove(air, to_gf(trace), pub)
         with pytest.raises(VerificationError):

@@ -98,7 +98,7 @@ class TestU32Proofs:
     def _prove(self, src, inputs):
         trace, out_stack = execute(src, inputs, min_rows=64)
         pub = make_public_inputs(program_hash(src), list(inputs), out_stack)
-        air = MidenAir(trace.shape[1], pub, self.OPTS)
+        air = MidenAir(trace.shape[1], pub, self.OPTS, program=src)
         from aero_tpu.prover import prove
         return prove(air, to_gf(trace), pub), pub, air
 
@@ -136,7 +136,7 @@ class TestU32Proofs:
         rowi = int(rows[0]) + 1
         trace[COL_STACK + 15, rowi] = 4242
         pub = make_public_inputs(program_hash(src), [77], out_stack)
-        air = MidenAir(trace.shape[1], pub, self.OPTS)
+        air = MidenAir(trace.shape[1], pub, self.OPTS, program=src)
         from aero_tpu.prover import prove
         proof = prove(air, to_gf(trace), pub)
         with pytest.raises(VerificationError):
@@ -153,7 +153,7 @@ class TestU32Proofs:
         from aero_tpu.vm import COL_STACK
         trace[COL_STACK, rowi] = 999  # forge the sum on that row only
         pub = make_public_inputs(program_hash(src), [0, 0], out_stack)
-        air = MidenAir(trace.shape[1], pub, self.OPTS)
+        air = MidenAir(trace.shape[1], pub, self.OPTS, program=src)
         from aero_tpu.prover import prove
         proof = prove(air, to_gf(trace), pub)
         with pytest.raises(VerificationError):

@@ -162,7 +162,7 @@ def wide_proof():
                                min_rows=64)
     pub = make_public_inputs(program_hash(src), [3, 1, 4, 1, 5],
                              out_stack)
-    air = MidenAir(trace.shape[1], pub, OPTS)
+    air = MidenAir(trace.shape[1], pub, OPTS, program=src)
     from aero_tpu.prover import prove
     proof = prove(air, to_gf(trace), pub)
     return proof, pub, air
@@ -178,14 +178,14 @@ class TestWideProof:
         ctx = proof.context
         assert ctx.layout.main_width == 72
         assert ctx.layout.aux_widths == [9]
-        assert air.num_transition_constraints == 49
-        assert air.num_assertions == 35
+        assert air.num_transition_constraints == 106
+        assert air.num_assertions == 41
 
     def test_rejects_wrong_output(self, wide_proof):
         proof, pub, air = wide_proof
         bad = make_public_inputs(pub.program_hash,
                                  list(reversed(pub.stack_inputs)),
                                  [999])
-        bad_air = MidenAir(air.trace_length, bad, OPTS)
+        bad_air = MidenAir(air.trace_length, bad, OPTS, program=air.program)
         with pytest.raises(VerificationError):
             verify(proof, bad, air=bad_air)

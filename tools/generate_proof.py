@@ -50,7 +50,7 @@ def main():
     pub = make_public_inputs(program_hash(src), [0, 1], out_stack)
     opts = ProofOptions(num_queries=args.queries, blowup_factor=8,
                         grinding_factor=args.grind)
-    air = MidenAir(trace.shape[1], pub, opts)
+    air = MidenAir(trace.shape[1], pub, opts, program=src)
 
     t0 = time.time()
     proof = prove(air, to_gf(trace), pub)
