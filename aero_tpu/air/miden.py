@@ -10,7 +10,7 @@ constraints: its evaluator is stubbed, stark_verifier.cairo:152-159).
 The constraint *semantics* are a from-scratch re-design for the aero-tpu
 VM (aero_tpu/vm/core/vm.cpp layout — see its header for the full column
 map). This revision departs from the golden 49-constraint count
-CONSCIOUSLY (106 transition constraints, 41 boundary assertions): the
+CONSCIOUSLY (112 transition constraints, 46 boundary assertions): the
 constraint count only affects how many composition coefficients are
 drawn, never the proof layout, and the extra constraints close the two
 soundness gaps the round-2 verdict ranked #1 and #2:
@@ -40,7 +40,7 @@ soundness gaps the round-2 verdict ranked #1 and #2:
    (reference analog: program.hash() in PublicInputs,
    miden-proof-generator/src/main.rs:35).
 
-Transition constraints (106):
+Transition constraints (112):
    0      clk' = clk + 1
    1-6    group selector booleanity
    7-14   member selector booleanity
@@ -81,12 +81,24 @@ Transition constraints (106):
    103    same-addr flag implies equal addresses
    104    read-after-write consistency (same addr, next is read)
    105    reads of a fresh address return 0
+   106    memory sortedness diff column binding (md = materialized diff)
+   107-108 canonical u32lo/u32hi split: hi = 2^32-1 forces lo = 0
+          (excludes the non-canonical (hi+1)-wrap representation; the
+          inverse witness for hi != 2^32-1 rides the imm column)
+   109    bits-chiplet region contiguity: CA may only turn on at row 1
+   110    memory-chiplet region contiguity: CM may only turn on at row 1
+          or immediately after a bits-chiplet row
+   111    ROM-row CR flag booleanity
 
-Boundary assertions (41): clk[0]=0; all 16 input and output stack slots
-(the golden shape bound only s0/s1 — see get_assertions); aux0 (overflow
-bus) = 1 at both ends; aux1 (chiplet bus) = 1 at both ends; aux2 (ROM
-LogUp sum) = 0 at both ends; aux3[0] = 1 and aux3[n-1] = the
-verifier-recomputed program product.
+Boundary assertions (46): clk[0]=0; pc[0]=0 and pc[n-1] = the halt
+entry's pc (execution must start at the program head and reach
+completion); all 16 input and output stack slots (the golden shape bound
+only s0/s1 — see get_assertions); CH_CA[0]=0 and CH_CM[0]=0 (chiplet
+regions start at row 1, anchoring the block/memory init constraints);
+b1[n-1] = the claimed final overflow top; aux0 (overflow bus) = 1 at
+the start and the claimed-final-table product at the end; aux1 (chiplet
+bus) = 1 at both ends; aux2 (ROM LogUp sum) = 0 at both ends; aux3[0] = 1 and
+aux3[n-1] = the verifier-recomputed program product.
 """
 
 from __future__ import annotations
@@ -94,17 +106,18 @@ from __future__ import annotations
 from typing import List, Optional, Sequence
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from ..spec import field as F
 from ..spec.proof import PublicInputs
 from ..field import (GF, add, sub, mul, mul_scalar, gf_full, gf_zeros,
-                     to_gf)
+                     to_gf, batch_inv, gf_cumprod, gf_cumsum, gf_concat)
 from ..vm import (COL_CLK, COL_G, COL_M, NUM_GROUPS, NUM_MEMBERS, COL_IMM,
                   COL_STACK, COL_PC, COL_OVF, COL_H0, COL_B1, COL_E,
                   COL_K, CH_CA, CH_CM, CH_CF, CH_CL, CH_C1, CH_C2,
                   CH_BITS, CH_ACC, CH_ACCZ, CH_SH, CH_P2, CH_CW,
-                  CH_MA, CH_MCLK, CH_MV, CH_MW, CH_MG,
+                  CH_MA, CH_MCLK, CH_MV, CH_MW, CH_MG, CH_MD,
                   NUM_OPS, OPS, rom_listing, program_hash)
 from .air import Air, Assertion, TransitionDegree
 
@@ -157,21 +170,23 @@ class MidenAir(Air):
 
     def __init__(self, trace_length: int, pub_inputs, options,
                  program: Optional[str] = None):
-        """`program` is the assembly source. When provided, (a) its
-        blake2s hash is checked against PublicInputs.program_hash, and
-        (b) the ROM static-product boundary (aux3[n-1]) is computed from
-        the assembled listing — the program-aware binding. Without it
-        the ROM boundary is unavailable and proving/verifying raises."""
+        """`program` is the assembly source (REQUIRED): (a) its blake2s
+        hash is checked against PublicInputs.program_hash, and (b) the
+        ROM static-product boundary (aux3[n-1]) and the completion-pc
+        boundary are computed from the assembled listing — the
+        program-aware binding."""
         super().__init__(trace_length, pub_inputs, options)
+        if program is None:
+            raise ValueError(
+                "MidenAir requires the program source: the ROM boundary "
+                "(aux3[n-1]) and completion pc are recomputed from it")
         self.program = program
-        self._rom = None
         self._aux_rand: Optional[Sequence[int]] = None
-        if program is not None:
-            if list(program_hash(program)) != list(pub_inputs.program_hash):
-                raise ValueError(
-                    "program_hash mismatch: the supplied program is not "
-                    "the one claimed by PublicInputs")
-            self._rom = rom_listing(program)
+        if list(program_hash(program)) != list(pub_inputs.program_hash):
+            raise ValueError(
+                "program_hash mismatch: the supplied program is not "
+                "the one claimed by PublicInputs")
+        self._rom = rom_listing(program)
 
     @property
     def ce_blowup(self) -> int:
@@ -218,7 +233,12 @@ class MidenAir(Air):
         degs += [TransitionDegree(4)]                     # 103 same addr
         degs += [TransitionDegree(5)]                     # 104 read consist
         degs += [TransitionDegree(5)]                     # 105 fresh read 0
-        assert len(degs) == 106
+        degs += [TransitionDegree(4)]                     # 106 md binding
+        degs += [TransitionDegree(5)] * 2                 # 107-108 canonical
+        degs += [TransitionDegree(3)]                     # 109 CA phase
+        degs += [TransitionDegree(4)]                     # 110 CM phase
+        degs += [TransitionDegree(4)]                     # 111 CR boolean
+        assert len(degs) == 112
         return degs
 
     # ------------------------------------------------------------ assertions
@@ -230,8 +250,9 @@ class MidenAir(Air):
         must multiply out to the same value, which (as a polynomial
         identity in alpha) forces their (pc, op, imm) multiset to equal
         the listing's."""
-        if self._rom is None or self._aux_rand is None:
-            return 0   # placeholder: len(get_assertions()) must not change
+        if self._aux_rand is None:
+            return 0   # placeholder until the aux rands are drawn:
+                       # len(get_assertions()) must not change
         alpha = int(self._aux_rand[10]) % P
         beta = int(self._aux_rand[11]) % P
         acc = 1
@@ -240,27 +261,73 @@ class MidenAir(Air):
             acc = acc * ((alpha - b) % P) % P
         return acc
 
+    def _overflow_product(self) -> int:
+        """Expected aux0[n-1]: the product of the UNMATCHED insert
+        factors — one per row still in the overflow table at the end,
+        (r12 + r13*addr + r14*val + r15*prev_addr). The verifier
+        recomputes it from the claimed final table (addresses in
+        PublicInputs.overflow_addrs newest-first, parked values in
+        output_stack[16:] newest-first); as a polynomial identity in
+        the rands this pins the committed table's multiset of
+        (addr, val, prev) triples, and the b1[n-1] assertion pins the
+        LIFO top, determining the whole linked list. Empty table -> 1
+        (the old always-drained boundary). Reference analog:
+        ProgramOutputs.overflow_addrs
+        (miden-proof-generator/src/main.rs:35-38)."""
+        if self._aux_rand is None:
+            return 1   # placeholder until the aux rands are drawn
+        r = self._aux_rand
+        addrs = [int(a) % P for a in self.pub_inputs.overflow_addrs]
+        vals = [int(v) % P for v in self.pub_inputs.output_stack[16:]]
+        if len(addrs) != len(vals):
+            raise ValueError(
+                "overflow_addrs and output_stack[16:] (parked values) "
+                "must pair up one-to-one")
+        acc, prev = 1, 0
+        for a, v in zip(reversed(addrs), reversed(vals)):  # bottom-first
+            acc = acc * ((r[12] + r[13] * a + r[14] * v
+                          + r[15] * prev) % P) % P
+            prev = a
+        return acc
+
     def get_assertions(self) -> List[Assertion]:
         """All 16 input and output stack slots are bound (the golden
         7-assertion shape bound only a prefix — reference binds full
-        outputs, miden-proof-generator/src/main.rs:35-38), plus the four
-        bus boundaries. 41 assertions total; the aux3 boundary value is
-        rand-dependent (set via _aux_rand by the prover / verifier before
-        composition)."""
+        outputs, miden-proof-generator/src/main.rs:35-38), plus the
+        program-counter boundaries (start at pc=0, finish at the halt
+        entry — no sub-segment of the program can be proven), the
+        chiplet row-0 inactivity anchors, the final overflow-table top
+        (b1[n-1]) and the four bus boundaries. 46 assertions total; the
+        aux0 and aux3 boundary values are rand-dependent (set via
+        _aux_rand by the prover / verifier before composition)."""
         n = self.trace_length
         pub = self.pub_inputs
         # stack_inputs are serialized bottom-first in the golden encoding;
         # reverse to get the top-first execution view
         top_in = (list(reversed(pub.stack_inputs)) + [0] * 16)[:16]
         out = (list(pub.output_stack) + [0] * 16)[:16]
-        asserts = [Assertion(COL_CLK, 0, 0)]
+        ovf_addrs = list(pub.overflow_addrs)
+        asserts = [Assertion(COL_CLK, 0, 0),
+                   # execution starts at the program head and reaches the
+                   # halt entry (the last ROM entry) — together with the
+                   # pc-update chain this forbids proving a sub-segment
+                   Assertion(COL_PC, 0, 0),
+                   Assertion(COL_PC, n - 1, len(self._rom) - 1),
+                   # chiplet regions start at row 1: anchors the block
+                   # first-row init and memory fresh-read constraints
+                   Assertion(CH_CA, 0, 0),
+                   Assertion(CH_CM, 0, 0),
+                   # the final overflow-table top address (0 if empty)
+                   Assertion(COL_B1, n - 1,
+                             int(ovf_addrs[0]) if ovf_addrs else 0)]
         for j in range(16):
             asserts.append(Assertion(COL_STACK + j, 0, top_in[j]))
             asserts.append(Assertion(COL_STACK + j, n - 1, out[j]))
         asserts += [
-            # overflow bus: table drained at both ends
+            # overflow bus: empty at the start, bound to the claimed
+            # final table at the end (1 when it drains)
             Assertion(72, 0, 1, is_aux=True),
-            Assertion(72, n - 1, 1, is_aux=True),
+            Assertion(72, n - 1, self._overflow_product(), is_aux=True),
             # chiplet bus: every request answered
             Assertion(73, 0, 1, is_aux=True),
             Assertion(73, n - 1, 1, is_aux=True),
@@ -497,13 +564,12 @@ class MidenAir(Air):
             return t
 
         msgs = {
-            "u32add": lin(L_RANGE4, s[1], s[0], p2v=one),
-            "u32sub": lin(L_RANGE4, s[1], s[0], p2v=one),
+            # the RESULT sn[0] rides the add/sub request: range-checked,
+            # it pins the carry/borrow h0 (result = a+b-carry*2^32 with
+            # a forged carry lands outside [0, 2^32))
+            "u32add": lin(L_RANGE4, s[1], s[0], sn[0], p2v=one),
+            "u32sub": lin(L_RANGE4, s[1], s[0], sn[0], p2v=one),
             "u32mul": lin(L_RANGE4, s[1], s[0], h0, sn[0], p2v=one),
-            "u32div": lin(L_RANGE4, s[0], sn[0], h0,
-                          sub(sub(s[0], one), h0), p2v=one),
-            "u32mod": lin(L_RANGE4, s[0], h0, sn[0],
-                          sub(sub(s[0], one), sn[0]), p2v=one),
             "u32not": lin(L_RANGE4, s[0], sn[0], p2v=one),
             "u32lo": lin(L_RANGE4, h0, sn[0], p2v=one),
             "u32hi": lin(L_RANGE4, sn[0], h0, p2v=one),
@@ -523,10 +589,24 @@ class MidenAir(Air):
         req = one
         for name, msg in msgs.items():
             req = add(req, mul(flag[name], sub(msg, one)))
-        # memory sortedness request (rides the same bus)
-        diff = add(mul(mg, sub(sub(mclkn, mclk), one)),
-                   mul(sub(one, mg), sub(sub(man, ma), one)))
-        sort_msg = lin(L_RANGE4, diff, ma, p2v=one)
+        # u32div/u32mod post TWO requests (product of messages): the
+        # (b, q, r, b-1-r) block plus a dividend range check — without
+        # the latter the AIR would accept non-u32 dividends the VM's
+        # checked semantics trap on
+        dividend_msg = lin(L_RANGE4, s[1], p2v=one)
+        div_msg = lin(L_RANGE4, s[0], sn[0], h0,
+                      sub(sub(s[0], one), h0), p2v=one)
+        mod_msg = lin(L_RANGE4, s[0], h0, sn[0],
+                      sub(sub(s[0], one), sn[0]), p2v=one)
+        req = add(req, mul(flag["u32div"],
+                           sub(mul(div_msg, dividend_msg), one)))
+        req = add(req, mul(flag["u32mod"],
+                           sub(mul(mod_msg, dividend_msg), one)))
+        # memory sortedness request (rides the same bus); the diff is the
+        # MATERIALIZED md column — bound to the (addr, clk) deltas by
+        # constraint 106 — keeping this factor at degree 3
+        md = c(CH_MD)
+        sort_msg = lin(L_RANGE4, md, ma, p2v=one)
         req = mul(req, add(one, mul(mul(cm, cmn), sub(sort_msg, one))))
         # responses
         shval = gf_zeros((m,))
@@ -645,8 +725,40 @@ class MidenAir(Air):
                        sub(mvn, mv)))
         out.append(mul(mul(mul(cmn, sub(one, mul(cm, mg))),
                            sub(one, mwn)), mvn))
+        # 106: md binding — the materialized sortedness diff equals the
+        # (clk or addr) delta minus one on adjacent memory rows
+        diff = add(mul(mg, sub(sub(mclkn, mclk), one)),
+                   mul(sub(one, mg), sub(sub(man, ma), one)))
+        out.append(mul(gate, sub(md, diff)))
+        # 107-108: canonical u32lo/u32hi split. Since 2^64-2^32 === -1
+        # (mod p), (hi = 2^32-1, lo = x+1) is a second valid split of x;
+        # exclude it: z = 1 - (hi - (2^32-1))*imm is 1 exactly when
+        # hi = 2^32-1 (imm carries the inverse witness otherwise), and
+        # then lo is forced to 0.
+        d_lo = sub(h0, m32c)       # u32lo rows: hi = h0, lo = sn[0]
+        d_hi = sub(sn[0], m32c)    # u32hi rows: hi = sn[0], lo = h0
+        z_lo = sub(one, mul(d_lo, imm))
+        z_hi = sub(one, mul(d_hi, imm))
+        out.append(add(mul(flag["u32lo"], mul(d_lo, z_lo)),
+                       mul(flag["u32hi"], mul(d_hi, z_hi))))
+        out.append(add(mul(flag["u32lo"], mul(sn[0], z_lo)),
+                       mul(flag["u32hi"], mul(h0, z_hi))))
+        # 109: bits-region contiguity — CA may only turn on across the
+        # row-0 transition (clk = row index, nonzero for rows >= 1);
+        # with CH_CA[0] = 0 asserted, the region is one prefix run and
+        # every block entry passes through the CF init constraints
+        out.append(mul(mul(clk, can), sub(one, ca)))
+        # 110: memory-region contiguity — CM may only turn on at row 1
+        # or directly after a bits-chiplet row, so memory rows form one
+        # contiguous run and constraint 105's "fresh address" gating
+        # cannot be reset by splitting runs
+        out.append(mul(mul(mul(clk, cmn), sub(one, cm)), sub(one, ca)))
+        # 111: ROM-row CR flag booleanity (aux3's product factors must
+        # be monic in alpha)
+        out.append(mul(mul(mul(sub(one, ca), sub(one, cm)), cr),
+                       sub(cr, one)))
 
-        assert len(out) == 106
+        assert len(out) == 112
         return out
 
     # ------------------------------------------------------------- aux trace
@@ -654,8 +766,24 @@ class MidenAir(Air):
     def build_aux_trace(self, main_trace: GF, aux_rand: Sequence[int]) -> GF:
         """aux0 = overflow bus; aux1 = chiplet bus; aux2 = ROM LogUp sum;
         aux3 = ROM static product; aux4-aux8 = zero padding (the aux
-        width stays 9 for golden-shape compatibility). Host-exact: the
-        factors come straight off the committed trace columns."""
+        width stays 9 for golden-shape compatibility).
+
+        DEVICE-side: per-row bus factors are vectorized GF column ops,
+        inverses are one Montgomery batch inversion, and the running
+        products / LogUp sums are log-depth `associative_scan` prefix
+        scans — O(n) Python bigint work replaced by O(log n)-depth
+        device work (the round-3 scaling blocker for 2^20-row traces).
+        Cross-checked against the host-exact oracle builder
+        (build_aux_trace_host) in tests/test_vm_wide.py."""
+        self._aux_rand = [int(r) % P for r in aux_rand]
+        rands = to_gf(np.array(self._aux_rand, dtype=np.uint64))
+        return _build_aux_device(main_trace, rands)
+
+    def build_aux_trace_host(self, main_trace: GF,
+                             aux_rand: Sequence[int]) -> GF:
+        """Host-exact oracle for build_aux_trace (pure-Python bigint
+        loops; retained as the cross-check reference and for
+        environments without a device)."""
         from ..field import from_gf
         self._aux_rand = [int(r) % P for r in aux_rand]
         n = main_trace.shape[-1]
@@ -712,6 +840,8 @@ class MidenAir(Air):
                     + r[4] * v4 + r[5] * sh + r[6] * p2v + r[7] * z
                     + r[8] * c1v + r[9] * c2v) % P
 
+        md = tr[CH_MD]
+
         def req_at(i):
             nm = str(opname[i])
             v = 1
@@ -719,13 +849,15 @@ class MidenAir(Air):
             a, b, h, im = int(s1[i]), int(s0[i]), int(h0[i]), int(imm[i])
             ck = int(clk[i])
             if nm == "u32add" or nm == "u32sub":
-                v = lin_h(L_RANGE4, a, b, p2v=1)
+                v = lin_h(L_RANGE4, a, b, sn0, p2v=1)
             elif nm == "u32mul":
                 v = lin_h(L_RANGE4, a, b, h, sn0, p2v=1)
             elif nm == "u32div":
-                v = lin_h(L_RANGE4, b, sn0, h, (b - 1 - h) % P, p2v=1)
+                v = (lin_h(L_RANGE4, b, sn0, h, (b - 1 - h) % P, p2v=1)
+                     * lin_h(L_RANGE4, a, p2v=1) % P)
             elif nm == "u32mod":
-                v = lin_h(L_RANGE4, b, h, sn0, (b - 1 - sn0) % P, p2v=1)
+                v = (lin_h(L_RANGE4, b, h, sn0, (b - 1 - sn0) % P, p2v=1)
+                     * lin_h(L_RANGE4, a, p2v=1) % P)
             elif nm == "u32not":
                 v = lin_h(L_RANGE4, b, sn0, p2v=1)
             elif nm == "u32lo":
@@ -750,11 +882,7 @@ class MidenAir(Air):
             elif nm == "memstore":
                 v = lin_h(L_MEM, b, ck, sn0, 1)
             if cm[i] and cm[i + 1]:
-                if mg[i]:
-                    d = (int(mclk[i + 1]) - int(mclk[i]) - 1) % P
-                else:
-                    d = (int(ma[i + 1]) - int(ma[i]) - 1) % P
-                v = v * lin_h(L_RANGE4, d, int(ma[i]), p2v=1) % P
+                v = v * lin_h(L_RANGE4, int(md[i]), int(ma[i]), p2v=1) % P
             return v
 
         def resp_at(i):
@@ -804,15 +932,206 @@ class MidenAir(Air):
         return to_gf(arr.astype(np.uint64))
 
 
+# ------------------------------------------------- device-side aux builders
+
+def _bus_row_factors(cur: GF, nxt: GF, g: List[GF]):
+    """Per-row bus factors off the committed trace columns, vectorized
+    over all n rows at once. The expressions MUST mirror the transition
+    constraints 40/48/49/50 in MidenAir.evaluate_transitions — any drift
+    makes proofs fail verification (and trips the host-oracle equality
+    test). Returns (ins_f, del_f, req, resp, da, db, lgnum, prod_f)."""
+    m = cur.shape[-1]
+    one = gf_full((m,), 1)
+
+    def c(i):
+        return cur[i]
+
+    def nx(i):
+        return nxt[i]
+
+    def konst(v):
+        return gf_full((m,), v % P)
+
+    g_sel = [c(COL_G + i) for i in range(NUM_GROUPS)]
+    m_sel = [c(COL_M + i) for i in range(NUM_MEMBERS)]
+    flag = {name: mul(g_sel[i // 8], m_sel[i % 8])
+            for i, name in enumerate(OPS)}
+    s = [c(COL_STACK + j) for j in range(16)]
+    sn = [nx(COL_STACK + j) for j in range(16)]
+    imm, h0, pc, clk = c(COL_IMM), c(COL_H0), c(COL_PC), c(COL_CLK)
+
+    def class_flag(names):
+        f = gf_zeros((m,))
+        for nm in names:
+            f = add(f, flag[nm])
+        return f
+
+    down_f = class_flag(DOWN_OPS)
+    up_f = class_flag(UP_OPS)
+
+    # overflow bus factors (constraint 40)
+    b1, bn1, e = c(COL_B1), nx(COL_B1), c(COL_E)
+    l_ins = add(add(g[12], mul(g[13], add(clk, one))),
+                add(mul(g[14], s[15]), mul(g[15], b1)))
+    l_del = add(add(g[12], mul(g[13], b1)),
+                add(mul(g[14], sn[15]), mul(g[15], bn1)))
+    ins_f = add(one, mul(down_f, sub(l_ins, one)))
+    pop_f = mul(up_f, sub(one, e))
+    del_f = add(one, mul(pop_f, sub(l_del, one)))
+
+    # chiplet bus factors (constraint 48)
+    ca, cm, cf = c(CH_CA), c(CH_CM), c(CH_CF)
+    can, cfn, cmn = nx(CH_CA), nx(CH_CF), nx(CH_CM)
+    cl, c1, c2 = c(CH_CL), c(CH_C1), c(CH_C2)
+    accs = [c(CH_ACC + k) for k in range(4)]
+    accz = c(CH_ACCZ)
+    shb = [c(CH_SH + t) for t in range(5)]
+    p2, cw = c(CH_P2), c(CH_CW)
+    ma, mclk, mv, mw, mg, md = (c(CH_MA), c(CH_MCLK), c(CH_MV),
+                                c(CH_MW), c(CH_MG), c(CH_MD))
+
+    def lin(label, v1=None, v2=None, v3=None, v4=None, sh=None,
+            p2v=None, z=None, c1v=None, c2v=None):
+        t = mul_scalar(g[0], label) if label != 1 else g[0]
+        for coeff, val in ((1, v1), (2, v2), (3, v3), (4, v4),
+                           (5, sh), (6, p2v), (7, z), (8, c1v),
+                           (9, c2v)):
+            if val is not None:
+                t = add(t, mul(g[coeff], val))
+        return t
+
+    msgs = {
+        "u32add": lin(L_RANGE4, s[1], s[0], sn[0], p2v=one),
+        "u32sub": lin(L_RANGE4, s[1], s[0], sn[0], p2v=one),
+        "u32mul": lin(L_RANGE4, s[1], s[0], h0, sn[0], p2v=one),
+        "u32not": lin(L_RANGE4, s[0], sn[0], p2v=one),
+        "u32lo": lin(L_RANGE4, h0, sn[0], p2v=one),
+        "u32hi": lin(L_RANGE4, sn[0], h0, p2v=one),
+        "u32lt": lin(L_RANGE4, h0, s[1], s[0], p2v=one),
+        "u32and": lin(L_AND, s[1], s[0], p2v=one, z=sn[0], c2v=one),
+        "u32or": lin(L_OR, s[1], s[0], p2v=one, z=sn[0],
+                     c1v=one, c2v=konst(P - 1)),
+        "u32xor": lin(L_XOR, s[1], s[0], p2v=one, z=sn[0],
+                      c1v=one, c2v=konst(P - 2)),
+        "u32shl": lin(L_SHL, s[1], h0, sn[0], sh=s[0], p2v=imm),
+        "u32shr": lin(L_SHR, s[1], sn[0], h0,
+                      sub(sub(imm, one), h0), sh=s[0], p2v=imm),
+        "memload": lin(L_MEM, s[0], clk, sn[0]),
+        "memstore": lin(L_MEM, s[0], clk, sn[0], one),
+    }
+    req = one
+    for name, msg in msgs.items():
+        req = add(req, mul(flag[name], sub(msg, one)))
+    dividend_msg = lin(L_RANGE4, s[1], p2v=one)
+    div_msg = lin(L_RANGE4, s[0], sn[0], h0,
+                  sub(sub(s[0], one), h0), p2v=one)
+    mod_msg = lin(L_RANGE4, s[0], h0, sn[0],
+                  sub(sub(s[0], one), sn[0]), p2v=one)
+    req = add(req, mul(flag["u32div"], sub(mul(div_msg, dividend_msg), one)))
+    req = add(req, mul(flag["u32mod"], sub(mul(mod_msg, dividend_msg), one)))
+    sort_msg = lin(L_RANGE4, md, ma, p2v=one)
+    req = mul(req, add(one, mul(mul(cm, cmn), sub(sort_msg, one))))
+
+    shval = gf_zeros((m,))
+    for t in range(5):
+        shval = add(shval, mul_scalar(shb[t], 1 << t))
+    resp_bits = mul(g[0], cl)
+    for coeff, val in ((1, accs[0]), (2, accs[1]), (3, accs[2]),
+                       (4, accs[3]), (5, shval), (6, p2), (7, accz),
+                       (8, c1), (9, c2)):
+        resp_bits = add(resp_bits, mul(g[coeff], val))
+    last = mul(ca, add(sub(one, can), cfn))
+    resp_mem = lin(L_MEM, ma, mclk, mv, mw)
+    resp = add(one, mul(last, sub(resp_bits, one)))
+    resp = add(resp, mul(cm, sub(resp_mem, one)))
+
+    # ROM LogUp / static product factors (constraints 49-50)
+    alpha, beta = g[10], g[11]
+    beta2 = mul(beta, beta)
+    openc = gf_zeros((m,))
+    for i in range(NUM_GROUPS):
+        openc = add(openc, mul_scalar(g_sel[i], 8 * i))
+    for j in range(NUM_MEMBERS):
+        openc = add(openc, mul_scalar(m_sel[j], j))
+    uimm = add(add(flag["push"], flag["drop"]), flag["nop"])
+    a_val = add(pc, add(mul(beta, openc), mul(mul(beta2, imm), uimm)))
+    cra = mul(mul(sub(one, ca), sub(one, cm)), ma)
+    b_val = add(mclk, add(mul(beta, mv), mul(beta2, mw)))
+    da = sub(alpha, a_val)
+    db = sub(alpha, b_val)
+    lgnum = mul(cra, mg)
+    prod_f = add(one, mul(cra, sub(db, one)))
+    return ins_f, del_f, req, resp, da, db, lgnum, prod_f
+
+
+# The factor evaluation (one big elementwise module) and the
+# inversion+scan stage are SEPARATE jits: fusing the associative scans
+# into the giant factor expression trips XLA:CPU's algebraic-simplifier
+# slow path (compile alarm, >10 min at n=512); split, each module
+# compiles in normal time and the device handoff is 8 (4, n) arrays.
+
+@jax.jit
+def _aux_factors_jit(tr: GF, rands: GF):
+    nxt = GF(jnp.roll(tr.lo, -1, axis=-1), jnp.roll(tr.hi, -1, axis=-1))
+    g = [rands[i] for i in range(16)]
+    return _bus_row_factors(tr, nxt, g)
+
+
+@jax.jit
+def _aux_scans_jit(ins_f, del_f, req, resp, da, db, lgnum, prod_f):
+    n = ins_f.shape[-1]
+    stack = gf_concat([x.reshape(1, n)
+                       for x in (del_f, resp, da, db)], axis=0)
+    invs = batch_inv(stack, axis=-1)
+    i_del, i_resp, i_da, i_db = invs[0], invs[1], invs[2], invs[3]
+
+    def scan_prod(f: GF) -> GF:
+        # aux[k] = prod_{i<k} f[i]: inclusive scan over the first n-1
+        # factors (the wrap factor at n-1 never enters), unit prepended
+        s = gf_cumprod(GF(f.lo[:n - 1], f.hi[:n - 1]))
+        return gf_concat([gf_full((1,), 1), s])
+
+    aux0 = scan_prod(mul(ins_f, i_del))
+    aux1 = scan_prod(mul(req, i_resp))
+    d2 = sub(i_da, mul(lgnum, i_db))
+    aux2 = gf_concat([gf_zeros((1,)),
+                      gf_cumsum(GF(d2.lo[:n - 1], d2.hi[:n - 1]))])
+    aux3 = scan_prod(prod_f)
+    zeros = gf_zeros((1, n))
+    return gf_concat([a.reshape(1, n) for a in (aux0, aux1, aux2, aux3)]
+                     + [zeros] * 5, axis=0)
+
+
+def _build_aux_device(tr: GF, rands: GF) -> GF:
+    # XLA:CPU executes the jitted factor module ~30x slower than eager
+    # dispatch (measured n=512: 27 s vs 0.9 s — scheduler pathology on
+    # the wide fan-out of tiny limb ops); eager on CPU, jit on TPU.
+    if jax.default_backend() == "cpu":
+        nxt = GF(jnp.roll(tr.lo, -1, axis=-1),
+                 jnp.roll(tr.hi, -1, axis=-1))
+        factors = _bus_row_factors(tr, nxt, [rands[i] for i in range(16)])
+    else:
+        factors = _aux_factors_jit(tr, rands)
+    return _aux_scans_jit(*factors)
+
+
 def make_public_inputs(program_hash: List[int],
                        stack_inputs_topfirst: List[int],
-                       output_stack: List[int]) -> PublicInputs:
-    """Build golden-encoding public inputs: stack_inputs stored bottom-first,
-    outputs as the full 16-slot final stack (top-first), empty overflow."""
+                       output_stack: List[int],
+                       overflow=None) -> PublicInputs:
+    """Build golden-encoding public inputs: stack_inputs stored
+    bottom-first, outputs as the full 16-slot final stack (top-first).
+    `overflow` is the final overflow table as (addr, value) pairs
+    bottom-first (the third element of vm.execute_full) — its values are
+    appended to output_stack newest-first and its addresses fill
+    overflow_addrs, matching the golden encoding's non-empty overflow
+    fields (miden-proof-generator/src/main.rs:35-38)."""
     outs = (list(output_stack) + [0] * 16)[:16]
+    rows = list(overflow or [])
+    outs += [int(v) for a, v in reversed(rows)]   # newest-first
     return PublicInputs(
         program_hash=list(program_hash),
         stack_inputs=list(reversed(stack_inputs_topfirst)),
         output_stack=outs,
-        overflow_addrs=[],
+        overflow_addrs=[int(a) for a, v in reversed(rows)],
     )

@@ -403,10 +403,31 @@ def gf_sum(x: GF, axis: int = -1) -> GF:
 
 
 def eval_polys_at(polys: GF, z_int: int) -> np.ndarray:
-    """Evaluate GF[..., n] coefficient rows at the scalar z; returns uint64."""
+    """Evaluate GF[..., n] coefficient rows at the scalar z; returns uint64.
+
+    Chunked over the leading (row) axis for wide inputs: the term array
+    materializes the full operand, and at the 2^20-row proof scale a
+    72 x 2^20 temp on a nearly-full HBM is an OOM."""
     n = polys.shape[-1]
     zp = power_series(z_int, n)
+    if polys.lo.ndim == 2 and polys.lo.size > (1 << 25):
+        w = polys.shape[0]
+        chunk = max(1, (1 << 25) // n)
+        return np.concatenate([eval_polys_at(polys[i:i + chunk], z_int)
+                               for i in range(0, w, chunk)])
     terms = mul(polys, GF(jnp.broadcast_to(zp.lo, polys.shape),
                           jnp.broadcast_to(zp.hi, polys.shape)))
     s = gf_sum(terms, axis=-1)
     return from_gf(GF(s.lo.squeeze(-1), s.hi.squeeze(-1)))
+
+
+def gf_cumprod(x: GF, axis: int = -1) -> GF:
+    """Inclusive prefix product along `axis` (log-depth associative scan) —
+    the device-side running-product bus builder primitive."""
+    return jax.lax.associative_scan(mul, x, axis=axis)
+
+
+def gf_cumsum(x: GF, axis: int = -1) -> GF:
+    """Inclusive prefix sum along `axis` (log-depth associative scan) —
+    the device-side LogUp running-sum primitive."""
+    return jax.lax.associative_scan(add, x, axis=axis)

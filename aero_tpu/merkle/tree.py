@@ -38,13 +38,17 @@ class DeviceMerkleTree:
         n = levels[0].shape[0]
         tree = MerkleTree.__new__(MerkleTree)
         tree.n = n
-        # flat 1-indexed array: nodes[n+i] = leaf i, nodes[1] = root
+        # flat 1-indexed array: nodes[n+i] = leaf i, nodes[1] = root.
+        # One bulk little-endian convert + tobytes per level, then cheap
+        # 32-byte slices (the per-leaf astype/tobytes loop here was a
+        # 2^20-leaf scaling bottleneck).
         nodes: List[bytes] = [b""] * (2 * n)
         for lvl, arr in enumerate(levels):
             base = n >> lvl
-            arr = np.ascontiguousarray(arr.astype("<u4"))
-            for i in range(arr.shape[0]):
-                nodes[base + i] = arr[i].tobytes()
+            k = arr.shape[0]
+            buf = np.ascontiguousarray(arr.astype("<u4")).tobytes()
+            nodes[base:base + k] = [buf[32 * i:32 * (i + 1)]
+                                    for i in range(k)]
         tree.nodes = nodes
         self._tree = tree
 
@@ -151,7 +155,20 @@ def commit_columns(cols: GF, resident: bool = True):
     and a host tree."""
     if _use_pallas():
         from ..hash.blake2s_pallas import hash_columns_t, merge_level_t
-        cur = hash_columns_t(cols)
+        w, m = cols.shape
+        # the hash message materializes 8 u32 words per felt (32-byte-LE
+        # protocol encoding) = 8x the trace data; chunk the leaf axis so
+        # that buffer stays ~1 GB (72 cols x 2^23 leaves would otherwise
+        # allocate 19 GB and OOM the 16 GB HBM)
+        chunk = m
+        while w * 8 * chunk * 4 > (1 << 30):
+            chunk //= 2
+        if chunk < m:
+            cur = jnp.concatenate(
+                [hash_columns_t(cols[:, i:i + chunk])
+                 for i in range(0, m, chunk)], axis=1)
+        else:
+            cur = hash_columns_t(cols)
         levels = [cur]
         while cur.shape[1] > 1:
             cur = merge_level_t(cur)

@@ -216,40 +216,36 @@ class DryrunOut(NamedTuple):
     aux_root: tuple
     constraint_root: tuple
     fold_root: tuple
+    matches_single_device: bool
 
 
-def dryrun_prove_core(n_devices: int, trace_steps: int = 32) -> DryrunOut:
-    """Compile + execute the sharded proving pipeline on an n-device mesh
-    with tiny shapes (used by __graft_entry__.dryrun_multichip)."""
-    from ..spec.proof import ProofOptions
-    from ..air.fib import FibAir, FibPublicInputs, build_fib_trace, fib_result
-
-    mesh = make_mesh(n_devices)
-    n = trace_steps
-    pub = FibPublicInputs(result=fib_result(n), n_steps=n)
-    opts = ProofOptions(num_queries=7, blowup_factor=8, grinding_factor=1)
-    air = FibAir(n, pub, opts)
-    log_blowup = 3
-
-    trace = shard_domain(mesh, build_fib_trace(n))
-    aux = shard_domain(mesh, air.build_aux_trace(build_fib_trace(n), [3, 5]))
+def _pipeline_roots(air, trace: GF, aux: GF, aux_rand_ints, log_blowup: int,
+                    place):
+    """Run LDE -> commit -> composition -> DEEP -> FRI-fold -> commit with
+    every domain-axis array placed by `place` (identity = single device,
+    shard_domain = GSPMD over the mesh). Returns the four roots."""
+    opts = air.options
+    trace = place(trace)
+    aux = place(aux)
 
     _, main_lde_ = stage_lde(trace, log_blowup)
     _, aux_lde_ = stage_lde(aux, log_blowup)
     main_root = stage_commit(main_lde_)
     aux_root = stage_commit(aux_lde_)
 
-    aux_rand = [gf_scalar(3), gf_scalar(5)]
+    aux_rand = [gf_scalar(r) for r in aux_rand_ints]
     nt, nb = air.num_transition_constraints, air.num_assertions
     cc_t = [(gf_scalar(11 + i), gf_scalar(13 + i)) for i in range(nt)]
     cc_b = [(gf_scalar(17 + i), gf_scalar(19 + i)) for i in range(nb)]
-    comp_fn = jax.jit(functools.partial(stage_composition, air),
-                      static_argnames=("log_blowup",))
-    constraint_lde = comp_fn(main_lde_, aux_lde_, aux_rand, cc_t, cc_b,
-                             log_blowup=log_blowup)
+    # NOT wrapped in jax.jit: the 112-constraint MidenAir module under
+    # SPMD partitioning takes tens of minutes to compile on XLA:CPU;
+    # eager ops on sharded inputs follow the data's sharding op-by-op
+    # (identical values, collectives still inserted where needed) and
+    # keep the dryrun inside the driver's budget.
+    constraint_lde = stage_composition(air, main_lde_, aux_lde_, aux_rand,
+                                       cc_t, cc_b, log_blowup=log_blowup)
     constraint_root = stage_commit(constraint_lde)
 
-    m = n * opts.blowup_factor
     w = air.main_width + air.aux_width
     ce = constraint_lde.shape[0]
     all_lde = gf_concat([main_lde_, aux_lde_], axis=0)
@@ -257,16 +253,61 @@ def dryrun_prove_core(n_devices: int, trace_steps: int = 32) -> DryrunOut:
     zeros_ce = GF(jnp.zeros((ce,), jnp.uint32), jnp.zeros((ce,), jnp.uint32))
     ones_w = GF(jnp.ones((w,), jnp.uint32), jnp.zeros((w,), jnp.uint32))
     ones_ce = GF(jnp.ones((ce,), jnp.uint32), jnp.zeros((ce,), jnp.uint32))
-    deep_fn = jax.jit(functools.partial(stage_deep, w_lde=air.lde_generator))
-    deep = deep_fn(all_lde, constraint_lde, gf_scalar(98765), gf_scalar(43210),
-                   gf_scalar(55555), zeros_w, zeros_w, zeros_ce,
-                   ones_w, ones_w, ones_ce, gf_scalar(7), gf_scalar(9))
+    # eager for the same compile-budget reason as stage_composition above
+    deep = stage_deep(all_lde, constraint_lde, gf_scalar(98765),
+                      gf_scalar(43210), gf_scalar(55555), zeros_w, zeros_w,
+                      zeros_ce, ones_w, ones_w, ones_ce, gf_scalar(7),
+                      gf_scalar(9), w_lde=air.lde_generator)
 
-    folded = stage_fri_fold(deep, gf_scalar(31337), ff=opts.fri_folding_factor)
-    rows = GF(folded.lo.reshape(opts.fri_folding_factor, -1).T,
-              folded.hi.reshape(opts.fri_folding_factor, -1).T)
-    fold_root = stage_commit(GF(rows.lo.T, rows.hi.T))
+    folded = stage_fri_fold(deep, gf_scalar(31337),
+                            ff=opts.fri_folding_factor)
+    fold_root = stage_commit(folded.reshape(opts.fri_folding_factor, -1))
+    roots = (main_root, aux_root, constraint_root, fold_root)
+    jax.block_until_ready(roots)
+    return roots
 
-    out = DryrunOut(main_root, aux_root, constraint_root, fold_root)
-    jax.block_until_ready(out)
-    return out
+
+def dryrun_prove_core(n_devices: int, trace_steps: int = 64) -> DryrunOut:
+    """Compile + execute the sharded proving pipeline on an n-device mesh
+    (used by __graft_entry__.dryrun_multichip) — with the FLAGSHIP
+    MidenAir (72+9 columns, 112 constraints, chiplet rows from a real VM
+    trace exercising u32 + memory ops), and every Merkle root compared
+    byte-for-byte against the single-device pipeline."""
+    from ..spec.proof import ProofOptions
+    from ..air.miden import MidenAir, make_public_inputs
+    from ..vm import execute, program_hash
+    from ..field import to_gf
+
+    mesh = make_mesh(n_devices)
+    src = """
+    begin
+        push.4294967295 push.1 u32add
+        push.3 u32sub
+        push.12 push.10 u32xor
+        mem.store.5 drop mem.load.5
+        drop drop
+    end
+    """
+    trace_np, out_stack = execute(src, [0, 0], min_rows=trace_steps)
+    n = trace_np.shape[1]
+    pub = make_public_inputs(program_hash(src), [0, 0], out_stack)
+    opts = ProofOptions(num_queries=7, blowup_factor=8, grinding_factor=1)
+    air = MidenAir(n, pub, opts, program=src)
+    log_blowup = 3
+
+    aux_rand_ints = [7919 * (i + 1) ** 2 for i in range(air.aux_rands)]
+    trace = to_gf(trace_np)
+    aux = air.build_aux_trace(trace, aux_rand_ints)
+    # rand-dependent boundary values (ROM product) enter the jitted
+    # composition as constants; set before get_assertions is traced
+    air._aux_rand = [r % F.P for r in aux_rand_ints]
+
+    ref = _pipeline_roots(air, trace, aux, aux_rand_ints, log_blowup,
+                          place=lambda x: x)
+    sharded = _pipeline_roots(air, trace, aux, aux_rand_ints, log_blowup,
+                              place=functools.partial(shard_domain, mesh))
+    ok = all(
+        np.array_equal(np.asarray(jax.device_get(a)),
+                       np.asarray(jax.device_get(b)))
+        for ra, rb in zip(ref, sharded) for a, b in zip(ra, rb))
+    return DryrunOut(*sharded, matches_single_device=ok)

@@ -53,6 +53,31 @@ def _columns_to_rows(cols: GF) -> GF:
     return GF(cols.lo.T, cols.hi.T)
 
 
+# Column-chunk budget for the iNTT/LDE device passes: the radix-4 NTT
+# materializes a handful of working buffers per pass, so an unchunked
+# 72-column x 2^23-point LDE peaks ~20 GB and OOMs the 16 GB HBM.
+# Bounding each pass to ~2^27 elements keeps the transient footprint
+# under ~1.5 GB while the persistent outputs stream into the full-width
+# result exactly as before (per-column transforms are independent).
+_CHUNK_ELEMS = 1 << 27
+
+
+def _intt_lde_chunked(trace: GF, log_blowup: int, offset: int):
+    """(iNTT, coset-LDE) over GF[w, n], chunked along the column axis."""
+    w, n = trace.shape
+    m = n << log_blowup
+    chunk = max(1, min(w, _CHUNK_ELEMS // max(m, 1)))
+    if chunk >= w:
+        polys = intt(trace)
+        return polys, lde(polys, log_blowup, offset)
+    polys_parts, lde_parts = [], []
+    for i in range(0, w, chunk):
+        p = intt(trace[i:i + chunk])
+        polys_parts.append(p)
+        lde_parts.append(lde(p, log_blowup, offset))
+    return (gf_concat(polys_parts, axis=0), gf_concat(lde_parts, axis=0))
+
+
 def _tile(vals: List[int], m: int) -> GF:
     """Tile a short periodic host list over a domain of size m."""
     arr = np.array(vals, dtype=np.uint64)
@@ -165,8 +190,8 @@ class ProverState:
 def stage_trace_commit(air: Air, st: ProverState) -> None:
     log_blowup = air.options.blowup_factor.bit_length() - 1
     st.coin = RandomCoin(hash_elements(st.pub_inputs.elements()))
-    st.main_polys = intt(st.main_trace)                       # GF[w, n]
-    st.main_lde = lde(st.main_polys, log_blowup, F.DOMAIN_OFFSET)
+    st.main_polys, st.main_lde = _intt_lde_chunked(
+        st.main_trace, log_blowup, F.DOMAIN_OFFSET)        # GF[w, n/m]
     st.main_tree = commit_columns(st.main_lde)
     st.commitments.append(st.main_tree.root)
     st.coin.reseed(st.main_tree.root)
@@ -178,11 +203,14 @@ def stage_aux_commit(air: Air, st: ProverState) -> None:
     log_blowup = air.options.blowup_factor.bit_length() - 1
     st.aux_rand = st.coin.draw_elements(air.aux_rands)
     aux_trace = air.build_aux_trace(st.main_trace, st.aux_rand)
-    st.aux_polys = intt(aux_trace)
-    st.aux_lde = lde(st.aux_polys, log_blowup, F.DOMAIN_OFFSET)
+    st.aux_polys, st.aux_lde = _intt_lde_chunked(
+        aux_trace, log_blowup, F.DOMAIN_OFFSET)
     st.aux_tree = commit_columns(st.aux_lde)
     st.commitments.append(st.aux_tree.root)
     st.coin.reseed(st.aux_tree.root)
+    # the raw trace is never read past this stage; free its HBM (0.6 GB
+    # at the 2^20-row scale)
+    st.main_trace = None
 
 
 def stage_constraint_eval(air: Air, st: ProverState) -> None:
@@ -206,25 +234,26 @@ def stage_constraint_eval(air: Air, st: ProverState) -> None:
 
     shift = m // n   # frame "next" offset in domain positions
 
-    def rolled(x: GF) -> GF:
-        return GF(jnp.roll(x.lo, -shift, axis=-1),
-                  jnp.roll(x.hi, -shift, axis=-1))
+    # The CE domain is evaluated in FRAGMENTS — the TPU-native analog of
+    # the reference's 8-fragment constraint-worker split
+    # (ConstraintEvaluationTable::fragments, proving_worker.rs:396):
+    # evaluating all constraints over the whole 2^23-point domain at
+    # once materializes ~50 flag/temp arrays of the full domain and OOMs
+    # HBM at the 2^20-row scale. Per-fragment peak is bounded; results
+    # stream into `merged` exactly as the unfragmented evaluation would
+    # (constraints are local: cur at x, nxt at x*g = +shift positions).
+    m_frag = min(m, 1 << 20)
 
-    t_evals = air.evaluate_transitions(
-        st.main_lde, rolled(st.main_lde),
-        st.aux_lde, rolled(st.aux_lde) if st.aux_lde is not None else None,
-        st.aux_rand)
+    def frag(x: GF, a: int, off: int) -> GF:
+        i0 = a + off
+        if i0 + m_frag <= m:
+            return x[..., i0:i0 + m_frag]
+        k = m - i0            # wraparound (last fragment's nxt frame)
+        return gf_concat([x[..., i0:], x[..., :m_frag - k]], axis=-1)
 
-    # x over the LDE domain and x^adj per distinct adjustment
+    # x over the LDE domain; divisor pieces computed full-domain (cheap:
+    # single columns), sliced per fragment
     x_dom = power_series(w_lde, m, offset)
-    xp_cache: Dict[int, GF] = {}
-
-    def xp(adj: int) -> GF:
-        if adj not in xp_cache:
-            xp_cache[adj] = pow_loop(x_dom, adj)
-        return xp_cache[adj]
-
-    # transition divisor inverse: 1/Zt = (x - g^{n-1}) / (x^n - 1)
     wn = F.exp(w_lde, n)                       # order `blowup`
     on = F.exp(offset, n)
     zt_vals = [F.sub(F.mul(on, F.exp(wn, t)), 1) for t in range(blowup)]
@@ -232,29 +261,72 @@ def stage_constraint_eval(air: Air, st: ProverState) -> None:
     zt_inv = mul(sub(x_dom, gf_full((m,), F.exp(g_trace, n - 1))),
                  zt_inv_tiled)
 
-    merged = gf_full((m,), 0)
-    for ev, (a, b), adj in zip(t_evals, cc_transition,
-                               air.transition_adjustments()):
-        k = add(gf_full((m,), a), mul_scalar(xp(adj), b))
-        merged = add(merged, mul(mul(k, ev), zt_inv))
-
-    # boundary terms: group by assertion point
     assertions = air.get_assertions()
     points = sorted({F.exp(g_trace, asrt.step) for asrt in assertions})
     denom = gf_concat([sub(x_dom, gf_full((1, m), p)).reshape(1, m)
                        for p in points], axis=0)
     denom_inv = batch_inv(denom, axis=-1)
     point_row = {p: i for i, p in enumerate(points)}
+    t_adjust = air.transition_adjustments()
+    b_adjust = air.boundary_adjustments()
 
-    all_lde = st.main_lde if not air.aux_width else gf_concat(
-        [st.main_lde, st.aux_lde], axis=0)
-    for asrt, (a, b), adj in zip(assertions, cc_boundary,
-                                 air.boundary_adjustments()):
-        col = all_lde[asrt.column]
-        ev = sub(col, gf_full((m,), asrt.value))
-        dinv = denom_inv[point_row[F.exp(g_trace, asrt.step)]]
-        k = add(gf_full((m,), a), mul_scalar(xp(adj), b))
-        merged = add(merged, mul(mul(k, ev), dinv))
+    # static per-assertion routing (column source + divisor row); the
+    # VALUES travel as arrays so the jitted fragment module is reusable
+    # across proofs of the same shape
+    asrt_route = [(asrt.column < air.main_width,
+                   asrt.column if asrt.column < air.main_width
+                   else asrt.column - air.main_width,
+                   point_row[F.exp(g_trace, asrt.step)])
+                  for asrt in assertions]
+    cc_t_arr = to_gf(np.array(cc_transition, dtype=np.uint64))   # (nt, 2)
+    cc_b_arr = to_gf(np.array(cc_boundary, dtype=np.uint64))     # (na, 2)
+    bvals = to_gf(np.array([int(a.value) % F.P for a in assertions],
+                           dtype=np.uint64))
+    rand_gf = [to_gf(np.uint64(int(r) % F.P)) for r in st.aux_rand]
+
+    def frag_fn(main_cur, main_nxt, aux_cur, aux_nxt, x_frag, zt_inv_f,
+                dinv_f, cc_t_a, cc_b_a, bvals_a, rands):
+        t_evals = air.evaluate_transitions(main_cur, main_nxt,
+                                           aux_cur, aux_nxt, rands)
+        xp_cache: Dict[int, GF] = {}
+
+        def xp(adj: int) -> GF:
+            if adj not in xp_cache:
+                xp_cache[adj] = pow_loop(x_frag, adj)
+            return xp_cache[adj]
+
+        merged = gf_full((m_frag,), 0)
+        for i, (ev, adj) in enumerate(zip(t_evals, t_adjust)):
+            k = add(cc_t_a[i, 0], mul(xp(adj), cc_t_a[i, 1]))
+            merged = add(merged, mul(mul(k, ev), zt_inv_f))
+        for j, ((is_main, c, prow), adj) in enumerate(zip(asrt_route,
+                                                          b_adjust)):
+            col = main_cur[c] if is_main else aux_cur[c]
+            ev = sub(col, bvals_a[j])
+            k = add(cc_b_a[j, 0], mul(xp(adj), cc_b_a[j, 1]))
+            merged = add(merged, mul(mul(k, ev), dinv_f[prow]))
+        return merged
+
+    # one compiled module per fragment SHAPE (not per proof): all
+    # transcript-dependent values arrive as arrays. Eager on CPU (the
+    # XLA:CPU jit of this module is pathologically slow — see
+    # air/miden.py _build_aux_device); jitted on TPU, where the eager
+    # alternative costs ~20k relay dispatches per proof.
+    import jax
+    runner = (frag_fn if jax.default_backend() == "cpu"
+              else jax.jit(frag_fn))
+
+    merged_parts = []
+    for a0 in range(0, m, m_frag):
+        merged_parts.append(runner(
+            frag(st.main_lde, a0, 0), frag(st.main_lde, a0, shift),
+            frag(st.aux_lde, a0, 0) if st.aux_lde is not None else None,
+            frag(st.aux_lde, a0, shift) if st.aux_lde is not None else None,
+            x_dom[a0:a0 + m_frag], zt_inv[a0:a0 + m_frag],
+            denom_inv[:, a0:a0 + m_frag], cc_t_arr, cc_b_arr, bvals,
+            rand_gf))
+    merged = (merged_parts[0] if len(merged_parts) == 1
+              else gf_concat(merged_parts, axis=-1))
 
     # composition polynomial -> ce columns -> LDE -> commit
     # iNTT over the coset: divide out offset powers
@@ -314,12 +386,17 @@ def stage_deep_composition(air: Air, st: ProverState) -> None:
     dinv = batch_inv(dstack, axis=-1)
     inv_z, inv_zg, inv_zm = dinv[0], dinv[1], dinv[2]
 
-    all_lde = st.main_lde if not air.aux_width else gf_concat(
-        [st.main_lde, st.aux_lde], axis=0)
+    def col_at(c: int) -> GF:
+        # index into main/aux without materializing a concatenated copy
+        # (a gf_concat here doubles the resident LDE footprint at scale)
+        if c < air.main_width:
+            return st.main_lde[c]
+        return st.aux_lde[c - air.main_width]
+
     num_cur = gf_full((m,), 0)
     num_nxt = gf_full((m,), 0)
     for c in range(n_cols):
-        col = all_lde[c]
+        col = col_at(c)
         num_cur = add(num_cur, mul_scalar(
             sub(col, gf_full((m,), st.cur_row[c])), deep_trace[c][0]))
         num_nxt = add(num_nxt, mul_scalar(

@@ -172,18 +172,19 @@ def prove(program: pb.MidenProgram, inputs: pb.MidenProgramInputs,
           options: Optional[pb.ProofOptions] = None,
           min_rows: int = 64) -> ProveResult:
     """Execute + prove a program (device-accelerated pipeline)."""
-    from ..vm import execute, program_hash
+    from ..vm import execute_full, program_hash
     from ..air.miden import MidenAir, make_public_inputs
     from ..field import to_gf
     from ..prover import prove as run_prover
 
     opts = options_from_pb(options) if options is not None else DEFAULT_OPTIONS
     stack_init = list(inputs.stack_init)
-    trace, out_stack = execute(program.program, list(reversed(stack_init)),
-                               advice_tape=list(inputs.advice_tape),
-                               min_rows=min_rows)
+    trace, out_stack, overflow = execute_full(
+        program.program, list(reversed(stack_init)),
+        advice_tape=list(inputs.advice_tape), min_rows=min_rows)
     pub = make_public_inputs(program_hash(program.program),
-                             list(reversed(stack_init)), out_stack)
+                             list(reversed(stack_init)), out_stack,
+                             overflow=overflow)
     air = MidenAir(trace.shape[1], pub, opts, program=program.program)
     proof = run_prover(air, to_gf(trace), pub)
 

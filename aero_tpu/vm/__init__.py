@@ -57,6 +57,7 @@ CH_MCLK = 45  # memory clk / ROM pc
 CH_MV = 46    # memory value / ROM op
 CH_MW = 47    # memory is_write / ROM imm
 CH_MG = 48    # memory same-addr flag / ROM multiplicity
+CH_MD = 49    # sortedness diff to the next memory row
 
 # op index = group*8 + member; order must match vm.cpp's enum
 OPS = [
@@ -111,7 +112,8 @@ def _load():
             ctypes.POINTER(ctypes.c_uint64), ctypes.c_longlong,
             ctypes.POINTER(ctypes.c_uint64), ctypes.c_longlong,
             ctypes.c_longlong,
-            ctypes.POINTER(ctypes.c_uint64)]
+            ctypes.POINTER(ctypes.c_uint64),
+            ctypes.POINTER(ctypes.c_uint64), ctypes.c_longlong]
         _lib.vm_rom.restype = ctypes.c_longlong
         _lib.vm_rom.argtypes = [
             ctypes.c_char_p,
@@ -124,33 +126,55 @@ class VmError(Exception):
     pass
 
 
-def execute(source: str, stack_inputs: Sequence[int],
-            advice_tape: Optional[Sequence[int]] = None,
-            max_rows: int = 1 << 22, min_rows: int = 8
-            ) -> Tuple[np.ndarray, List[int]]:
+def execute_full(source: str, stack_inputs: Sequence[int],
+                 advice_tape: Optional[Sequence[int]] = None,
+                 max_rows: int = 1 << 22, min_rows: int = 8
+                 ) -> Tuple[np.ndarray, List[int],
+                            List[Tuple[int, int]]]:
     """Assemble + execute. stack_inputs are top-first; advice_tape feeds
     adv.push (nondeterministic inputs, not part of the public statement).
 
-    Returns (trace, output_stack): trace uint64[72, n] with n a power of 2
-    (>= min_rows, sized so the chiplet regions fit), output_stack = final
-    16 stack slots (top-first)."""
+    Returns (trace, output_stack, overflow): trace uint64[72, n] with n a
+    power of 2 (>= min_rows, sized so the chiplet regions fit),
+    output_stack = final 16 stack slots (top-first), overflow = the final
+    overflow table as (addr, value) pairs bottom-first (non-empty for
+    programs with net-positive stack growth; carried in PublicInputs —
+    reference analog: ProgramOutputs.overflow_addrs,
+    miden-proof-generator/src/main.rs:35-38)."""
     lib = _load()
     inputs = np.asarray(list(stack_inputs), dtype=np.uint64)
     adv = np.asarray(list(advice_tape or []), dtype=np.uint64)
     trace = np.zeros(NUM_COLS * max_rows, dtype=np.uint64)
     stack_out = np.zeros(16, dtype=np.uint64)
+    max_ovf = 1 << 16
+    ovf_out = np.zeros(1 + 2 * max_ovf, dtype=np.uint64)
     n = lib.vm_execute(
         source.encode(),
         inputs.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)), len(inputs),
         adv.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)), len(adv),
         trace.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
         max_rows, min_rows,
-        stack_out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)))
+        stack_out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        ovf_out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)), max_ovf)
     if n < 0:
         raise VmError(lib.vm_last_error().decode())
     n = int(n)
     tr = trace[:NUM_COLS * n].reshape(NUM_COLS, n).copy()
-    return tr, [int(x) for x in stack_out]
+    n_ovf = int(ovf_out[0])
+    overflow = [(int(ovf_out[1 + 2 * j]), int(ovf_out[2 + 2 * j]))
+                for j in range(n_ovf)]
+    return tr, [int(x) for x in stack_out], overflow
+
+
+def execute(source: str, stack_inputs: Sequence[int],
+            advice_tape: Optional[Sequence[int]] = None,
+            max_rows: int = 1 << 22, min_rows: int = 8
+            ) -> Tuple[np.ndarray, List[int]]:
+    """execute_full without the overflow table (kept for the common
+    balanced-program case)."""
+    tr, out, _ = execute_full(source, stack_inputs, advice_tape,
+                              max_rows, min_rows)
+    return tr, out
 
 
 def rom_listing(source: str) -> List[Tuple[int, int, int]]:

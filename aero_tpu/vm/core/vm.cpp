@@ -53,6 +53,7 @@
 //   memory rows (CM=1, one row per memory access, sorted by
 //   (addr, clk) — the classic RAM consistency argument):
 //     44 addr  45 clk  46 value  47 is_write  48 same-addr flag
+//     49 sortedness diff to the next memory row (range-checked)
 //
 //   program-ROM rows (CR flag, one row per assembled instruction):
 //     44 CR=1  45 pc  46 op index  47 imm  48 multiplicity
@@ -160,6 +161,8 @@ constexpr int CH_MCLK = 45;   // also ROM pc
 constexpr int CH_MV = 46;     // also ROM op
 constexpr int CH_MW = 47;     // also ROM imm
 constexpr int CH_MG = 48;     // also ROM multiplicity
+constexpr int CH_MD = 49;     // sortedness diff to the NEXT memory row
+                              // (free on memory rows: bits cols are CA-gated)
 
 // chiplet block labels (must match aero_tpu/air/miden.py)
 constexpr u64 L_RANGE4 = 1;
@@ -208,7 +211,16 @@ struct Assembler {
       const std::string& t = toks[i];
       if (t == terminator) { ++i; return true; }
       if (allow_else && t == "else") return true;  // caller handles
-      if (t.rfind("repeat.", 0) == 0) {
+      if (t == "cswap") {
+        // miden v0.3 conditional swap: pop c; if c = 1 swap the next
+        // two. Compiles to the same branch rows as `if.true swap end`
+        // (condition booleanity enforced by the branch constraint).
+        flat.push_back("<if>");
+        flat.push_back("swap");
+        flat.push_back("<else>");
+        flat.push_back("<endif>");
+        ++i;
+      } else if (t.rfind("repeat.", 0) == 0) {
         long n = std::stol(t.substr(7));
         ++i;
         std::vector<std::string> inner;
@@ -357,6 +369,67 @@ struct Assembler {
         }
       }
     }
+    // ---- miden v0.3 word / exponent sugar (desugared to core ops) ----
+    if (t == "padw") {
+      for (int k = 0; k < 4; ++k) out.push_back({PUSH, 0, 0});
+      return true;
+    }
+    if (t == "dropw") {
+      for (int k = 0; k < 4; ++k) out.push_back({DROP, 0, 0});
+      return true;
+    }
+    if (t.rfind("exp.", 0) == 0) {
+      // a^N by MSB-first square-and-multiply, base parked at s1
+      u64 e = std::stoull(t.substr(4)) % P;
+      if (e == 0) {
+        out.push_back({DROP, 0, 0});
+        out.push_back({PUSH, 1, 0});
+        return true;
+      }
+      out.push_back({DUP0, 0, 0});                  // [r=a, a]
+      int top = 63 - __builtin_clzll(e);
+      for (int b = top - 1; b >= 0; --b) {
+        out.push_back({DUP0, 0, 0});
+        out.push_back({MUL, 0, 0});                 // r = r^2
+        if ((e >> b) & 1) {
+          out.push_back({DUP1, 0, 0});
+          out.push_back({MUL, 0, 0});               // r = r * a
+        }
+      }
+      out.push_back({SWAP, 0, 0});
+      out.push_back({DROP, 0, 0});
+      return true;
+    }
+    // word memory: word address w maps to felt addresses 4w..4w+3;
+    // loadw overwrites s0..s3 with (w0..w3), storew stores s0..s3
+    // keeping them on the stack (miden v0.3 semantics)
+    if (t.rfind("loadw.", 0) == 0 || t.rfind("mem.loadw.", 0) == 0) {
+      u64 base = 4 * std::stoull(t.substr(t.rfind('.') + 1));
+      for (int k = 0; k < 4; ++k) out.push_back({DROP, 0, 0});
+      for (int k = 3; k >= 0; --k) {
+        out.push_back({PUSH, base + k, 0});
+        out.push_back({MEMLOAD, 0, 0});
+      }
+      return true;
+    }
+    if (t.rfind("storew.", 0) == 0 || t.rfind("mem.storew.", 0) == 0) {
+      u64 base = 4 * std::stoull(t.substr(t.rfind('.') + 1));
+      auto store_at = [&](u64 addr) {
+        out.push_back({PUSH, addr, 0});
+        out.push_back({MEMSTORE, 0, 0});
+      };
+      store_at(base);                                // s0 -> w0
+      out.push_back({SWAP, 0, 0});
+      store_at(base + 1);                            // s1 -> w1
+      out.push_back({SWAP, 0, 0});
+      out.push_back({MOVUP2, 0, 0});
+      store_at(base + 2);                            // s2 -> w2
+      out.push_back({MOVDN2, 0, 0});
+      out.push_back({MOVUP3, 0, 0});
+      store_at(base + 3);                            // s3 -> w3
+      out.push_back({MOVDN3, 0, 0});
+      return true;
+    }
     // memory: mem.load[.ADDR] / mem.store[.ADDR]
     if (t == "mem.load") { out.push_back({MEMLOAD, 0, 0}); return true; }
     if (t == "mem.store") { out.push_back({MEMSTORE, 0, 0}); return true; }
@@ -430,7 +503,18 @@ struct Assembler {
     std::vector<std::string> main_toks;
     for (size_t i = 0; i < toks.size();) {
       if (toks[i].rfind("proc.", 0) == 0) {
+        // proc.name[.nlocals] — each proc gets a private local-memory
+        // window (inline expansion makes recursion impossible, so a
+        // static per-proc base is sound; nested calls of DISTINCT
+        // procs never alias)
         std::string name = toks[i].substr(5);
+        u64 nlocals = 0;
+        size_t d = name.find('.');
+        if (d != std::string::npos) {
+          nlocals = std::stoull(name.substr(d + 1));
+          name = name.substr(0, d);
+        }
+        u64 base = (1ULL << 30) + (u64)procs.size() * 4096;
         ++i;
         std::vector<std::string> body;
         int depth = 0;
@@ -443,7 +527,23 @@ struct Assembler {
           body.push_back(toks[i]);
           ++i;
         }
-        procs[name] = body;
+        // resolve loc_load.i / loc_store.i to absolute memory ops
+        std::vector<std::string> resolved;
+        for (auto& bt : body) {
+          if (bt.rfind("loc_load.", 0) == 0) {
+            u64 idx = std::stoull(bt.substr(9));
+            if (idx >= nlocals) { prog.error = "local index out of range in proc " + name; return prog; }
+            resolved.push_back("mem.load." + std::to_string(base + idx));
+          } else if (bt.rfind("loc_store.", 0) == 0) {
+            u64 idx = std::stoull(bt.substr(10));
+            if (idx >= nlocals) { prog.error = "local index out of range in proc " + name; return prog; }
+            resolved.push_back("mem.store." + std::to_string(base + idx));
+            resolved.push_back("drop");   // loc_store POPS the value
+          } else {
+            resolved.push_back(bt);
+          }
+        }
+        procs[name] = resolved;
       } else if (toks[i] == "begin") {
         ++i;
         int depth = 0;
@@ -573,8 +673,21 @@ struct Executor {
         break;
       case U32ADD: h0 = (stack[1] + stack[0]) >> 32; break;       // carry
       case U32SUB: h0 = stack[1] < stack[0] ? 1 : 0; break;       // borrow
-      case U32LO: h0 = stack[0] >> 32; break;                     // hi
-      case U32HI: h0 = stack[0] & 0xFFFFFFFFULL; break;           // lo
+      case U32LO: {
+        h0 = stack[0] >> 32;                                      // hi
+        // canonical-split witness: imm = (hi - 2^32+1)^-1, or 0 when
+        // hi = 2^32-1 (then the AIR forces lo = 0, excluding the
+        // non-canonical (hi+1 wrap) representation of small values)
+        u64 d = fsub(h0, 0xFFFFFFFFULL);
+        imm = d ? finv(d) : 0;
+        break;
+      }
+      case U32HI: {
+        h0 = stack[0] & 0xFFFFFFFFULL;                            // lo
+        u64 d = fsub(stack[0] >> 32, 0xFFFFFFFFULL);
+        imm = d ? finv(d) : 0;
+        break;
+      }
       default: break;
     }
     // u32 binary operand check (checked-wrapping semantics)
@@ -682,15 +795,18 @@ struct Executor {
         stack[0] = ~stack[0] & 0xFFFFFFFFULL;
         break;
       case U32ADD: {
+        // the RESULT rides the request too: with result range-checked,
+        // result = a + b - carry*2^32 + boolean carry pins the carry
+        // uniquely (a forged carry puts the result outside [0, 2^32))
         u64 v = (a32 + b32) & 0xFFFFFFFFULL;
-        range4(a32, b32, 0, 0);
+        range4(a32, b32, v, 0);
         pop_shift();
         stack[0] = v;
         break;
       }
       case U32SUB: {
         u64 v = (a32 - b32) & 0xFFFFFFFFULL;
-        range4(a32, b32, 0, 0);
+        range4(a32, b32, v, 0);
         pop_shift();
         stack[0] = v;
         break;
@@ -705,6 +821,7 @@ struct Executor {
       case U32DIV: {
         u64 q = a32 / b32;
         range4(b32, q, h0, b32 - 1 - h0);             // (b, q, r, b-1-r)
+        range4(a32, 0, 0, 0);                         // dividend range check
         pop_shift();
         stack[0] = q;
         break;
@@ -712,6 +829,7 @@ struct Executor {
       case U32MOD: {
         u64 r = a32 % b32;
         range4(b32, h0, r, b32 - 1 - r);              // (b, q, r, b-1-r)
+        range4(a32, 0, 0, 0);                         // dividend range check
         pop_shift();
         stack[0] = r;
         break;
@@ -857,7 +975,8 @@ long long layout_chiplets(const Executor& ex,
     r += 8;
   }
 
-  // memory rows (sorted), with the same-addr flag
+  // memory rows (sorted), with the same-addr flag and the materialized
+  // sortedness diff to the next row (keeps the bus-request degree low)
   for (size_t i = 0; i < mem.size(); ++i) {
     if (r > n - 2) return 0;
     set(CH_CM, r, 1);
@@ -867,6 +986,11 @@ long long layout_chiplets(const Executor& ex,
     set(CH_MW, r, mem[i].w);
     set(CH_MG, r,
         i + 1 < mem.size() && mem[i + 1].addr == mem[i].addr ? 1 : 0);
+    if (i + 1 < mem.size())
+      set(CH_MD, r,
+          mem[i + 1].addr == mem[i].addr
+              ? mem[i + 1].clk - mem[i].clk - 1
+              : mem[i + 1].addr - mem[i].addr - 1);
     ++r;
   }
 
@@ -905,14 +1029,18 @@ extern "C" {
 // Executes `src` with `inputs` (top-first) and the nondeterministic
 // `advice` tape. Writes the trace column-major (col * n_rows + row) into
 // `trace_out` (caller-allocated, 72 * max_rows), the final 16-slot stack
-// into `stack_out`. Rows are padded to the next power of two with HALT
-// rows repeating the final state, sized so the chiplet regions
-// (bits blocks, memory rows, program ROM) fit in rows [1, n-2].
+// into `stack_out`, and — when `ovf_out` is non-null — the final
+// overflow table as ovf_out[0] = count followed by (addr, value) pairs
+// bottom-first (capacity `max_ovf` pairs; programs with net-positive
+// stack growth leave a non-empty table, carried in PublicInputs).
+// Rows are padded to the next power of two with HALT rows repeating the
+// final state, sized so the chiplet regions (bits blocks, memory rows,
+// program ROM) fit in rows [1, n-2].
 // Returns the padded row count, or -1 on error (message via vm_last_error).
 long long vm_execute(const char* src, const u64* inputs, long long n_inputs,
                      const u64* advice, long long n_advice,
                      u64* trace_out, long long max_rows, long long min_rows,
-                     u64* stack_out) {
+                     u64* stack_out, u64* ovf_out, long long max_ovf) {
   Assembler as;
   Program prog = as.assemble(src);
   if (!prog.error.empty()) { g_error = prog.error; return -1; }
@@ -958,6 +1086,17 @@ long long vm_execute(const char* src, const u64* inputs, long long n_inputs,
     return -1;
   }
   for (int j = 0; j < 16; ++j) stack_out[j] = ex.stack[j];
+  if (ovf_out) {
+    if ((long long)ex.overflow.size() > max_ovf) {
+      g_error = "overflow table exceeds max_ovf";
+      return -1;
+    }
+    ovf_out[0] = (u64)ex.overflow.size();
+    for (size_t j = 0; j < ex.overflow.size(); ++j) {
+      ovf_out[1 + 2 * j] = ex.overflow[j].addr;
+      ovf_out[2 + 2 * j] = ex.overflow[j].val;
+    }
+  }
   return padded;
 }
 

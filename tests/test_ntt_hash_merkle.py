@@ -76,3 +76,22 @@ class TestDeviceMerkle:
         idxs = [5, 3, 60, 21]
         proof = tree.prove_batch(idxs)
         assert proof.get_root(idxs) == spec_tree.root
+
+
+class TestMxuNtt:
+    """4-step MXU int8-limb-matmul NTT (ntt/ntt_mxu.py): bit-exact vs
+    the production radix-4 path. Small sizes here (CPU einsum); the TPU
+    perf verdict lives in docs/PERF_NOTES.md."""
+
+    def test_bit_exact_vs_production(self):
+        import numpy as np
+        from aero_tpu.field import to_gf, from_gf
+        from aero_tpu.ntt import ntt, intt
+        from aero_tpu.ntt.ntt_mxu import ntt_mxu, intt_mxu
+        rng = np.random.default_rng(5)
+        for logn, cols in ((6, 3), (8, 2)):
+            n = 1 << logn
+            x = to_gf(rng.integers(0, (1 << 64) - (1 << 32) + 1,
+                                   size=(cols, n), dtype=np.uint64))
+            assert np.array_equal(from_gf(ntt(x)), from_gf(ntt_mxu(x)))
+            assert np.array_equal(from_gf(intt(x)), from_gf(intt_mxu(x)))

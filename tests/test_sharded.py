@@ -104,3 +104,13 @@ class TestShardedStages:
         folded_s = stage_fri_fold(evals, gf_scalar(alpha), ff=8)
         folded_u = fold_evals(evals, alpha, 8)
         assert np.array_equal(from_gf(folded_s), from_gf(folded_u))
+
+
+class TestMidenDryrun:
+    def test_midenair_dryrun_value_equality(self, mesh):
+        """The flagship MidenAir (chiplet trace included) through the
+        sharded pipeline: every root byte-identical to single-device."""
+        from aero_tpu.parallel.sharded import dryrun_prove_core
+        out = dryrun_prove_core(8)
+        assert len(out.main_root) == 8
+        assert out.matches_single_device

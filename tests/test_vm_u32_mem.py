@@ -158,3 +158,42 @@ class TestU32Proofs:
         proof = prove(air, to_gf(trace), pub)
         with pytest.raises(VerificationError):
             verify(proof, pub, air=air)
+
+
+class TestNonEmptyOverflow:
+    OPTS = ProofOptions(num_queries=7, blowup_factor=8, grinding_factor=1)
+
+    def _setup(self):
+        from aero_tpu.vm import execute_full
+        # net-positive stack growth: the final overflow table keeps 18
+        # rows, carried in PublicInputs (addresses + parked values)
+        src = ("begin " + " ".join(f"push.{i}" for i in range(1, 21))
+               + " drop drop end")
+        trace, out, ovf = execute_full(src, [7, 8], min_rows=64)
+        assert len(ovf) == 18
+        return src, trace, out, ovf
+
+    def test_unbalanced_program_proves_and_verifies(self):
+        from aero_tpu.prover import prove
+        src, trace, out, ovf = self._setup()
+        pub = make_public_inputs(program_hash(src), [7, 8], out,
+                                 overflow=ovf)
+        air = MidenAir(trace.shape[1], pub, self.OPTS, program=src)
+        proof = prove(air, to_gf(trace), pub)
+        verify(proof, pub, air=air)
+
+    def test_tampered_overflow_claim_rejected(self):
+        from aero_tpu.prover import prove
+        src, trace, out, ovf = self._setup()
+        pub = make_public_inputs(program_hash(src), [7, 8], out,
+                                 overflow=ovf)
+        air = MidenAir(trace.shape[1], pub, self.OPTS, program=src)
+        proof = prove(air, to_gf(trace), pub)
+        # tamper one parked value in the claimed table
+        forged = [(a, v + 1 if i == 5 else v)
+                  for i, (a, v) in enumerate(ovf)]
+        bad = make_public_inputs(program_hash(src), [7, 8], out,
+                                 overflow=forged)
+        bad_air = MidenAir(trace.shape[1], bad, self.OPTS, program=src)
+        with pytest.raises(VerificationError):
+            verify(proof, bad, air=bad_air)

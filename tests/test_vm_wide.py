@@ -178,8 +178,8 @@ class TestWideProof:
         ctx = proof.context
         assert ctx.layout.main_width == 72
         assert ctx.layout.aux_widths == [9]
-        assert air.num_transition_constraints == 106
-        assert air.num_assertions == 41
+        assert air.num_transition_constraints == 112
+        assert air.num_assertions == 46
 
     def test_rejects_wrong_output(self, wide_proof):
         proof, pub, air = wide_proof
@@ -189,3 +189,33 @@ class TestWideProof:
         bad_air = MidenAir(air.trace_length, bad, OPTS, program=air.program)
         with pytest.raises(VerificationError):
             verify(proof, bad, air=bad_air)
+
+
+class TestAuxBuilders:
+    def test_device_aux_equals_host_oracle(self):
+        """The vectorized device bus builders (batched inverse +
+        associative-scan prefix products) must reproduce the host-exact
+        bigint oracle column for column on a trace exercising every bus:
+        overflow, chiplet (u32 + bitwise + shift + memory + sortedness),
+        ROM LogUp and ROM product."""
+        src = """
+        begin
+            push.4294967295 push.1 u32add
+            push.3 u32sub
+            push.12 push.10 u32xor
+            push.48 push.4 u32shr
+            mem.store.5 drop mem.load.5
+            push.17 push.5 u32div
+            drop drop drop drop drop
+        end
+        """
+        trace, out = execute(src, [0, 0], min_rows=64)
+        pub = make_public_inputs(program_hash(src), [0, 0], out)
+        air = MidenAir(trace.shape[1], pub, OPTS, program=src)
+        from aero_tpu.field import from_gf
+        rands = [(7919 * (i + 1) ** 3) % ((1 << 64) - (1 << 32) + 1)
+                 for i in range(16)]
+        g = to_gf(trace)
+        dev = from_gf(air.build_aux_trace(g, rands))
+        host = from_gf(air.build_aux_trace_host(g, rands))
+        assert np.array_equal(dev, host)
