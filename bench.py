@@ -132,32 +132,82 @@ def bench_mul(log_n=21):
     return n / dt, dt
 
 
-def bench_proof(min_rows=1 << 10, grind=16):
-    """End-to-end MIDEN fib proof wall clock at the golden parameters
-    (the reference's workload: 2^10-row 72+9-col trace, 27 queries,
-    blowup 8, 16-bit grinding, blake2s)."""
-    from aero_tpu.vm import execute, fibonacci_source, program_hash
+def _prove_once(src, inputs, min_rows, grind, warm=True):
+    from aero_tpu.vm import execute, program_hash
     from aero_tpu.air.miden import MidenAir, make_public_inputs
     from aero_tpu.field import to_gf
     from aero_tpu.spec.proof import ProofOptions
     from aero_tpu.prover.prover import prove
 
-    src = fibonacci_source(10)
-    trace, out_stack = execute(src, [0, 1], min_rows=min_rows)
-    pub = make_public_inputs(program_hash(src), [0, 1], out_stack)
+    trace, out_stack = execute(src, list(inputs), min_rows=min_rows,
+                               max_rows=1 << 23)
+    pub = make_public_inputs(program_hash(src), list(inputs), out_stack)
     opts = ProofOptions(num_queries=27, blowup_factor=8,
                         grinding_factor=grind)
     air = MidenAir(trace.shape[1], pub, opts, program=src)
     gtrace = to_gf(trace)
-    prove(air, gtrace, pub)          # warm the compile caches
+    if warm:
+        prove(air, gtrace, pub)      # warm the compile caches
     t0 = time.perf_counter()
     proof = prove(air, gtrace, pub)
     dt = time.perf_counter() - t0
-    return dt, len(proof.to_bytes())
+    return dt, len(proof.to_bytes()), trace.shape[1]
+
+
+def bench_proof(min_rows=1 << 10, grind=16):
+    """End-to-end MIDEN fib proof wall clock at the golden parameters
+    (the reference's workload: 2^10-row 72+9-col trace, 27 queries,
+    blowup 8, 16-bit grinding, blake2s)."""
+    from aero_tpu.vm import fibonacci_source
+    dt, size, _ = _prove_once(fibonacci_source(10), [0, 1], min_rows, grind)
+    return dt, size
+
+
+def long_fib_source(n_iters: int) -> str:
+    """Counter-driven fib loop: ~12 trace rows/iteration with a tiny ROM
+    (a `repeat.N` unroll would blow the program ROM up to N entries).
+    Stack: [counter, a, b, ...]."""
+    return f"""
+    begin
+        push.{n_iters}
+        dup.0 push.0 neq
+        while.true
+            movdn.2  swap dup.1 add  movup.2    # fib step under counter
+            push.1 sub
+            dup.0 push.0 neq
+        end
+    end
+    """
+
+
+def bench_proof_scale(log_rows=20, grind=16):
+    """BASELINE 'Full proof scale-up' workload: one MIDEN proof over a
+    2^20-row trace of REAL execution (not padding), 27 queries, blowup 8
+    (2^23-point LDE domain), blake2s. Proved once — no warm second run;
+    the compile cache absorbs jit cost across bench invocations."""
+    n_iters = ((1 << log_rows) - 64) // 12
+    dt, size, rows = _prove_once(long_fib_source(n_iters), [0, 1],
+                                 1 << log_rows, grind, warm=False)
+    assert rows == 1 << log_rows, f"trace padded to {rows}"
+    return dt, size
+
+
+def _enable_compile_cache():
+    """Persistent jit cache: the 2^20-row proof pipeline compiles ~2 min
+    of TPU modules on first run; cache them across bench invocations so
+    the recorded wall clocks measure execution, not compilation."""
+    import os
+    import jax
+    here = os.path.dirname(os.path.abspath(__file__))
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(here, ".jax_cache_tpu"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 
 def main():
     import jax  # noqa: F401  (platform comes from the environment: TPU)
+    _enable_compile_cache()
     rate, dt = bench_ntt()
     out = {
         "metric": "goldilocks_ntt_butterflies_per_s_per_chip",
@@ -166,26 +216,33 @@ def main():
         "vs_baseline": round(rate / BASELINE_BUTTERFLIES_PER_S, 3),
     }
     print(json.dumps(out))
+    # DEFAULT driver-visible metrics: the e2e proof wall clocks at the
+    # golden workload and the BASELINE 2^20-row scale-up, plus the
+    # 2^20-leaf Merkle commit (round-3 verdict items #3/#4)
+    pdt, psize = bench_proof()
+    print(json.dumps({"metric": "fib_2e10_proof_wall_clock",
+                      "value": round(pdt, 3), "unit": "s",
+                      "vs_baseline": None}))
+    print(json.dumps({"metric": "fib_2e10_proof_size",
+                      "value": psize, "unit": "bytes",
+                      "vs_baseline": round(psize / 50303, 3)}))
+    mrate, mdt = bench_merkle()
+    print(json.dumps({"metric": "merkle_commit_2e20_leaves_s",
+                      "value": round(mdt, 4), "unit": "s",
+                      "vs_baseline": None}))
+    sdt, ssize = bench_proof_scale()
+    print(json.dumps({"metric": "miden_2e20_row_proof_wall_clock",
+                      "value": round(sdt, 3), "unit": "s",
+                      "vs_baseline": None}))
     if "--all" in sys.argv:
         hrate, hdt = bench_hash()
         print(json.dumps({"metric": "blake2s_leaf_hashes_per_s_2e20x72",
                           "value": round(hrate, 1), "unit": "hashes/s",
                           "vs_baseline": None}))
-        mrate, mdt = bench_merkle()
-        print(json.dumps({"metric": "merkle_commit_2e20_leaves_s",
-                          "value": round(mdt, 4), "unit": "s",
-                          "vs_baseline": None}))
         mulrate, _ = bench_mul()
         print(json.dumps({"metric": "goldilocks_mul_per_s",
                           "value": round(mulrate, 1), "unit": "muls/s",
                           "vs_baseline": None}))
-        pdt, psize = bench_proof()
-        print(json.dumps({"metric": "fib_2e10_proof_wall_clock",
-                          "value": round(pdt, 3), "unit": "s",
-                          "vs_baseline": None}))
-        print(json.dumps({"metric": "fib_2e10_proof_size",
-                          "value": psize, "unit": "bytes",
-                          "vs_baseline": round(psize / 50303, 3)}))
 
 
 if __name__ == "__main__":
