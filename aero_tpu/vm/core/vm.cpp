@@ -278,6 +278,13 @@ struct Assembler {
 
     if (t.rfind("push.", 0) == 0) { out.push_back({PUSH, imm_of(t.substr(5)), 0}); return true; }
     if (t == "adv.push" || t == "adv_push") { out.push_back({ADVPUSH, 0, 0}); return true; }
+    if (t == "adv.loadw") {
+      // overwrite the top word with the next four advice values
+      // (s3..s0 read in tape order: s0 ends up the 4th value)
+      for (int k = 0; k < 4; ++k) out.push_back({DROP, 0, 0});
+      for (int k = 0; k < 4; ++k) out.push_back({ADVPUSH, 0, 0});
+      return true;
+    }
     if (t.rfind("dup.", 0) == 0) {
       long k = std::stol(t.substr(4));
       if (k < 0 || k > 7) { error = "dup." + std::to_string(k) + " out of range (0-7)"; return false; }

@@ -121,3 +121,9 @@ class TestSugarProof:
         from aero_tpu.prover import prove
         proof = prove(air, to_gf(trace), pub)
         verify(proof, pub, air=air)
+
+
+class TestAdvLoadw:
+    def test_overwrites_top_word_from_tape(self):
+        out = run("push.9 padw adv.loadw", advice=[1, 2, 3, 4])
+        assert out[:5] == [4, 3, 2, 1, 9]
