@@ -402,23 +402,35 @@ def gf_sum(x: GF, axis: int = -1) -> GF:
     return x
 
 
-def eval_polys_at(polys: GF, z_int: int) -> np.ndarray:
-    """Evaluate GF[..., n] coefficient rows at the scalar z; returns uint64.
-
-    Chunked over the leading (row) axis for wide inputs: the term array
-    materializes the full operand, and at the 2^20-row proof scale a
-    72 x 2^20 temp on a nearly-full HBM is an OOM."""
-    n = polys.shape[-1]
-    zp = power_series(z_int, n)
-    if polys.lo.ndim == 2 and polys.lo.size > (1 << 25):
-        w = polys.shape[0]
-        chunk = max(1, (1 << 25) // n)
-        return np.concatenate([eval_polys_at(polys[i:i + chunk], z_int)
-                               for i in range(0, w, chunk)])
+def _eval_rows_core(polys: GF, zp: GF) -> GF:
     terms = mul(polys, GF(jnp.broadcast_to(zp.lo, polys.shape),
                           jnp.broadcast_to(zp.hi, polys.shape)))
     s = gf_sum(terms, axis=-1)
-    return from_gf(GF(s.lo.squeeze(-1), s.hi.squeeze(-1)))
+    return GF(s.lo.squeeze(-1), s.hi.squeeze(-1))
+
+
+_eval_rows_jit = jax.jit(_eval_rows_core)
+
+
+def eval_polys_at(polys: GF, z_int: int) -> np.ndarray:
+    """Evaluate GF[..., n] coefficient rows at the scalar z; returns uint64.
+
+    Chunked over the leading (row) axis for wide inputs (the term array
+    materializes the full operand — at the 2^20-row proof scale a
+    72 x 2^20 temp on a nearly-full HBM is an OOM), with the chunk
+    reduction jitted off-CPU (the eager gf_sum tree costs ~100 remote
+    compiles per proof through the axon relay)."""
+    n = polys.shape[-1]
+    zp = power_series(z_int, n)
+    core = _eval_rows_core if jax.default_backend() == "cpu" \
+        else _eval_rows_jit
+    if polys.lo.ndim == 2 and polys.lo.size > (1 << 25):
+        w = polys.shape[0]
+        chunk = max(1, (1 << 25) // n)
+        return np.concatenate(
+            [from_gf(core(polys[i:i + chunk], zp))
+             for i in range(0, w, chunk)])
+    return from_gf(core(polys, zp))
 
 
 def gf_cumprod(x: GF, axis: int = -1) -> GF:

@@ -169,12 +169,38 @@ def commit_columns(cols: GF, resident: bool = True):
                  for i in range(0, m, chunk)], axis=1)
         else:
             cur = hash_columns_t(cols)
+        # merge the big levels in FIXED-SIZE chunks so every level reuses
+        # ONE compiled module (per-level shapes would load ~20 modules
+        # per proof through the axon relay at ~20 s each), and finish the
+        # small levels host-side (a few ms of hashlib for <= 2^15 nodes)
+        CH = 1 << 15                     # parent digests per merge call
         levels = [cur]
-        while cur.shape[1] > 1:
-            cur = merge_level_t(cur)
+        while cur.shape[1] > 2 * CH:
+            n2 = cur.shape[1]
+            cur = jnp.concatenate(
+                [merge_level_t(cur[:, i:i + 2 * CH])
+                 for i in range(0, n2, 2 * CH)], axis=1)
             levels.append(cur)
+        host_cur = np.asarray(jax.device_get(cur)).astype("<u4")
+        while host_cur.shape[1] > 1:
+            host_cur = _merge_level_host(host_cur)
+            levels.append(host_cur)
         if resident:
             return ResidentMerkleTree(levels)
         return DeviceMerkleTree(
             [np.asarray(jax.device_get(l)).T for l in levels])
     return commit_rows(GF(cols.lo.T, cols.hi.T))
+
+
+def _merge_level_host(d: np.ndarray) -> np.ndarray:
+    """One Merkle level on the host: word-major (8, 2n) uint32 -> (8, n),
+    parent = blake2s(left || right)."""
+    import hashlib
+    n2 = d.shape[1]
+    flat = np.ascontiguousarray(d.T)         # (2n, 8) digests
+    buf = flat.tobytes()
+    out = np.empty((n2 // 2, 8), dtype="<u4")
+    for i in range(n2 // 2):
+        h = hashlib.blake2s(buf[64 * i:64 * (i + 1)]).digest()
+        out[i] = np.frombuffer(h, dtype="<u4")
+    return np.ascontiguousarray(out.T)

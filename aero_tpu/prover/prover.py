@@ -379,37 +379,70 @@ def stage_deep_composition(air: Air, st: ProverState) -> None:
     lam, mu = st.coin.draw_pair()
 
     x_dom = power_series(w_lde, m, F.DOMAIN_OFFSET)
-    dz = sub(x_dom, gf_full((m,), st.z))
-    dzg = sub(x_dom, gf_full((m,), zg))
-    dzm = sub(x_dom, gf_full((m,), z_m))
-    dstack = gf_concat([d.reshape(1, m) for d in (dz, dzg, dzm)], axis=0)
-    dinv = batch_inv(dstack, axis=-1)
-    inv_z, inv_zg, inv_zm = dinv[0], dinv[1], dinv[2]
 
-    def col_at(c: int) -> GF:
-        # index into main/aux without materializing a concatenated copy
-        # (a gf_concat here doubles the resident LDE footprint at scale)
-        if c < air.main_width:
-            return st.main_lde[c]
-        return st.aux_lde[c - air.main_width]
+    def vec(ints) -> GF:
+        return to_gf(np.array([int(v) % F.P for v in ints],
+                              dtype=np.uint64))
 
-    num_cur = gf_full((m,), 0)
-    num_nxt = gf_full((m,), 0)
-    for c in range(n_cols):
-        col = col_at(c)
-        num_cur = add(num_cur, mul_scalar(
-            sub(col, gf_full((m,), st.cur_row[c])), deep_trace[c][0]))
-        num_nxt = add(num_nxt, mul_scalar(
-            sub(col, gf_full((m,), st.nxt_row[c])), deep_trace[c][1]))
-    deep = add(mul(num_cur, inv_z), mul(num_nxt, inv_zg))
+    def sc(v) -> GF:
+        return to_gf(np.uint64(int(v) % F.P))
 
-    num_c = gf_full((m,), 0)
-    for i in range(ce):
-        num_c = add(num_c, mul_scalar(
-            sub(st.constraint_lde[i], gf_full((m,), st.ood_evals[i])),
-            deep_constraints[i]))
-    deep = add(deep, mul(num_c, inv_zm))
-    st.deep = mul(deep, add(gf_full((m,), lam), mul_scalar(x_dom, mu)))
+    import jax
+    runner = (_deep_core if jax.default_backend() == "cpu"
+              else _deep_core_jit)
+    # domain-fragmented like stage_constraint_eval: bounds both the
+    # runtime HBM footprint and the compile-time working set (the
+    # full-domain module OOM-killed the TPU-side compile helper)
+    m_frag = min(m, 1 << 20)
+    args = (vec(st.cur_row), vec(st.nxt_row), vec(st.ood_evals),
+            vec([deep_trace[c][0] for c in range(n_cols)]),
+            vec([deep_trace[c][1] for c in range(n_cols)]),
+            vec(deep_constraints),
+            sc(st.z), sc(zg), sc(z_m), sc(lam), sc(mu))
+    parts = []
+    for a0 in range(0, m, m_frag):
+        sl = slice(a0, a0 + m_frag)
+        parts.append(runner(
+            st.main_lde[:, sl],
+            st.aux_lde[:, sl] if air.aux_width else None,
+            st.constraint_lde[:, sl], x_dom[sl], *args))
+    st.deep = parts[0] if len(parts) == 1 else gf_concat(parts, axis=-1)
+
+
+def _deep_core(main_lde: GF, aux_lde: Optional[GF], constraint_lde: GF,
+               x_dom: GF, cur: GF, nxt: GF, ood: GF,
+               a_vec: GF, b_vec: GF, c_vec: GF,
+               z: GF, zg: GF, zm: GF, lam: GF, mu: GF) -> GF:
+    """DEEP composition as weighted column reductions — one module on
+    TPU (the eager per-column loop costs ~1000 relay dispatches at the
+    2^20-row scale), eager on CPU (XLA:CPU jit pathology)."""
+    from ..field import gf_sum
+    m = x_dom.shape[-1]
+    dz = sub(x_dom, z)
+    dzg = sub(x_dom, zg)
+    dzm = sub(x_dom, zm)
+    dinv = batch_inv(gf_concat([d.reshape(1, m) for d in (dz, dzg, dzm)],
+                               axis=0), axis=-1)
+
+    def wsum(lde_: GF, vals: GF, weights: GF) -> GF:
+        k = lde_.shape[0]
+        t = mul(sub(lde_, vals.reshape(k, 1)), weights.reshape(k, 1))
+        return gf_sum(t, axis=0).reshape(m)
+
+    w_main = main_lde.shape[0]
+    num_cur = wsum(main_lde, cur[:w_main], a_vec[:w_main])
+    num_nxt = wsum(main_lde, nxt[:w_main], b_vec[:w_main])
+    if aux_lde is not None:
+        num_cur = add(num_cur, wsum(aux_lde, cur[w_main:], a_vec[w_main:]))
+        num_nxt = add(num_nxt, wsum(aux_lde, nxt[w_main:], b_vec[w_main:]))
+    deep = add(mul(num_cur, dinv[0]), mul(num_nxt, dinv[1]))
+    deep = add(deep, mul(wsum(constraint_lde, ood, c_vec), dinv[2]))
+    return mul(deep, add(lam, mul(x_dom, mu)))
+
+
+import jax as _jax  # noqa: E402  (module-level jit wrapper)
+
+_deep_core_jit = _jax.jit(_deep_core)
 
 
 def stage_fri_pow(air: Air, st: ProverState) -> None:

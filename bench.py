@@ -133,15 +133,16 @@ def bench_mul(log_n=21):
 
 
 def _prove_once(src, inputs, min_rows, grind, warm=True):
-    from aero_tpu.vm import execute, program_hash
+    from aero_tpu.vm import execute_full, program_hash
     from aero_tpu.air.miden import MidenAir, make_public_inputs
     from aero_tpu.field import to_gf
     from aero_tpu.spec.proof import ProofOptions
     from aero_tpu.prover.prover import prove
 
-    trace, out_stack = execute(src, list(inputs), min_rows=min_rows,
-                               max_rows=1 << 23)
-    pub = make_public_inputs(program_hash(src), list(inputs), out_stack)
+    trace, out_stack, overflow = execute_full(
+        src, list(inputs), min_rows=min_rows, max_rows=1 << 23)
+    pub = make_public_inputs(program_hash(src), list(inputs), out_stack,
+                             overflow=overflow)
     opts = ProofOptions(num_queries=27, blowup_factor=8,
                         grinding_factor=grind)
     air = MidenAir(trace.shape[1], pub, opts, program=src)
