@@ -163,18 +163,39 @@ def _ntt_core(x: GF, log_n: int, invert: bool) -> GF:
     return x
 
 
+# In this size window on TPU, dispatch to the MXU 4-step limb-matmul
+# DFT (ntt_mxu.py): bit-exact, ~1.3x the radix-4 VPU path at 2^18 (the
+# DFT work moves off the VPU u32-multiply roofline onto the systolic
+# array). The 4-step's per-point cost grows as sqrt(n) (vs log n for
+# the radix path); the per-k kernel choice inside _four_step (schoolbook
+# tiles <= 512, Karatsuba >= 1024) keeps it ahead up to 2^21.
+_MXU_MIN_N = 1 << 16
+_MXU_MAX_N = 1 << 20    # 2^21 tiles (k=2048) exceed the
+                         # remote-compile request size (constant matrices)
+
+
+def _dispatch(x: GF, log_n: int, invert: bool) -> GF:
+    n = 1 << log_n
+    if (_MXU_MIN_N <= n <= _MXU_MAX_N
+            and jax.default_backend() not in ("cpu",)):
+        from .ntt_mxu import _four_step
+        k1 = 1 << (log_n // 2)
+        return _four_step(x, k1, n // k1, invert)
+    return _ntt_core(x, log_n, invert)
+
+
 @jax.jit
 def ntt(coeffs: GF) -> GF:
     """Coefficients -> evaluations over the size-n subgroup (natural order)."""
     n = coeffs.shape[-1]
-    return _ntt_core(coeffs, n.bit_length() - 1, invert=False)
+    return _dispatch(coeffs, n.bit_length() - 1, invert=False)
 
 
 @jax.jit
 def intt(evals: GF) -> GF:
     """Evaluations (natural order) -> coefficients."""
     n = evals.shape[-1]
-    return _ntt_core(evals, n.bit_length() - 1, invert=True)
+    return _dispatch(evals, n.bit_length() - 1, invert=True)
 
 
 @functools.lru_cache(maxsize=32)
@@ -194,15 +215,28 @@ def lde(coeffs: GF, log_blowup: int, offset: int = F.DOMAIN_OFFSET) -> GF:
     """Evaluate degree-<n polynomials over the coset offset*<w_{n*blowup}>.
 
     coeffs: GF[..., n]; returns GF[..., n << log_blowup] in natural order.
-    """
+
+    Decomposed into `blowup` SEPARATE size-n coset NTTs (coset t holds
+    the target points offset*w_m^t*<w_n>, landing at output positions
+    t + blowup*i): same result as one padded size-m NTT, fewer
+    butterflies (blowup*n/2*log n vs m/2*log m), and each NTT stays at
+    size n where the MXU 4-step window applies."""
     n = coeffs.shape[-1]
     m = n << log_blowup
-    opow = _offset_powers(n, offset)
-    scaled = mul(coeffs, GF(jnp.broadcast_to(opow.lo, coeffs.shape),
-                            jnp.broadcast_to(opow.hi, coeffs.shape)))
-    pad = [(0, 0)] * (len(coeffs.shape) - 1) + [(0, m - n)]
-    padded = GF(jnp.pad(scaled.lo, pad), jnp.pad(scaled.hi, pad))
-    return ntt(padded)
+    log_n = n.bit_length() - 1
+    batch = coeffs.shape[:-1]
+    w_m = F.get_root_of_unity(m.bit_length() - 1)
+    outs = []
+    for t in range(1 << log_blowup):
+        base = F.mul(offset, F.exp(w_m, t))
+        sc = _offset_powers(n, base)
+        scaled = mul(coeffs, GF(jnp.broadcast_to(sc.lo, coeffs.shape),
+                                jnp.broadcast_to(sc.hi, coeffs.shape)))
+        outs.append(_dispatch(scaled, log_n, invert=False))
+    # interleave: outs[t][..., i] -> out[..., blowup*i + t]
+    lo = jnp.stack([o.lo for o in outs], axis=-1)
+    hi = jnp.stack([o.hi for o in outs], axis=-1)
+    return GF(lo.reshape(batch + (m,)), hi.reshape(batch + (m,)))
 
 
 def lde_from_evals(evals: GF, log_blowup: int, offset: int = F.DOMAIN_OFFSET) -> GF:
