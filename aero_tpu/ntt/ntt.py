@@ -216,15 +216,29 @@ def lde(coeffs: GF, log_blowup: int, offset: int = F.DOMAIN_OFFSET) -> GF:
 
     coeffs: GF[..., n]; returns GF[..., n << log_blowup] in natural order.
 
-    Decomposed into `blowup` SEPARATE size-n coset NTTs (coset t holds
-    the target points offset*w_m^t*<w_n>, landing at output positions
-    t + blowup*i): same result as one padded size-m NTT, fewer
-    butterflies (blowup*n/2*log n vs m/2*log m), and each NTT stays at
-    size n where the MXU 4-step window applies."""
+    Two bit-exact formulations, picked per backend:
+
+    - TPU: `blowup` SEPARATE size-n coset NTTs (coset t holds the target
+      points offset*w_m^t*<w_n>, landing at output positions
+      t + blowup*i): fewer butterflies (blowup*n/2*log n vs m/2*log m)
+      and each NTT stays at size n where the MXU 4-step window applies.
+    - CPU (tests + the multi-chip SPMD dryrun): ONE padded size-m NTT
+      (winterfell's evaluate_poly_with_offset shape). The coset
+      decomposition emits ~blowup x the HLO, which put the XLA:CPU SPMD
+      partitioner past the driver's compile budget (MULTICHIP_r04
+      rc:124); one size-m NTT keeps stage count at log m.
+    """
     n = coeffs.shape[-1]
     m = n << log_blowup
     log_n = n.bit_length() - 1
     batch = coeffs.shape[:-1]
+    if jax.default_backend() == "cpu":
+        sc = _offset_powers(n, offset)
+        scaled = mul(coeffs, GF(jnp.broadcast_to(sc.lo, coeffs.shape),
+                                jnp.broadcast_to(sc.hi, coeffs.shape)))
+        pad = [(0, 0)] * len(batch) + [(0, m - n)]
+        padded = GF(jnp.pad(scaled.lo, pad), jnp.pad(scaled.hi, pad))
+        return _dispatch(padded, m.bit_length() - 1, invert=False)
     w_m = F.get_root_of_unity(m.bit_length() - 1)
     outs = []
     for t in range(1 << log_blowup):

@@ -267,18 +267,15 @@ def _pipeline_roots(air, trace: GF, aux: GF, aux_rand_ints, log_blowup: int,
     return roots
 
 
-def dryrun_prove_core(n_devices: int, trace_steps: int = 64) -> DryrunOut:
-    """Compile + execute the sharded proving pipeline on an n-device mesh
-    (used by __graft_entry__.dryrun_multichip) — with the FLAGSHIP
-    MidenAir (72+9 columns, 112 constraints, chiplet rows from a real VM
-    trace exercising u32 + memory ops), and every Merkle root compared
-    byte-for-byte against the single-device pipeline."""
+def _dryrun_air_and_traces(trace_steps: int = 64):
+    """The flagship dryrun workload: MidenAir (72+9 columns, 112
+    constraints, chiplet rows from a real VM trace exercising u32 +
+    memory ops) at tiny shapes."""
     from ..spec.proof import ProofOptions
     from ..air.miden import MidenAir, make_public_inputs
     from ..vm import execute, program_hash
     from ..field import to_gf
 
-    mesh = make_mesh(n_devices)
     src = """
     begin
         push.4294967295 push.1 u32add
@@ -293,7 +290,6 @@ def dryrun_prove_core(n_devices: int, trace_steps: int = 64) -> DryrunOut:
     pub = make_public_inputs(program_hash(src), [0, 0], out_stack)
     opts = ProofOptions(num_queries=7, blowup_factor=8, grinding_factor=1)
     air = MidenAir(n, pub, opts, program=src)
-    log_blowup = 3
 
     aux_rand_ints = [7919 * (i + 1) ** 2 for i in range(air.aux_rands)]
     trace = to_gf(trace_np)
@@ -301,13 +297,50 @@ def dryrun_prove_core(n_devices: int, trace_steps: int = 64) -> DryrunOut:
     # rand-dependent boundary values (ROM product) enter the jitted
     # composition as constants; set before get_assertions is traced
     air._aux_rand = [r % F.P for r in aux_rand_ints]
+    return air, trace, aux, aux_rand_ints
 
-    ref = _pipeline_roots(air, trace, aux, aux_rand_ints, log_blowup,
-                          place=lambda x: x)
-    sharded = _pipeline_roots(air, trace, aux, aux_rand_ints, log_blowup,
+
+_GOLDEN_PATH = __import__("os").path.join(
+    __import__("os").path.dirname(__file__), "dryrun_golden.json")
+
+
+def single_device_dryrun_roots(trace_steps: int = 64):
+    """The four pipeline Merkle roots on ONE device (the value-equality
+    reference). Run by tools/regen_dryrun_golden.py to refresh the
+    committed golden file, and by the slow-lane test that pins it."""
+    air, trace, aux, aux_rand_ints = _dryrun_air_and_traces(trace_steps)
+    roots = _pipeline_roots(air, trace, aux, aux_rand_ints, 3,
+                            place=lambda x: x)
+    return [[int(np.asarray(jax.device_get(w))) for w in r] for r in roots]
+
+
+def dryrun_prove_core(n_devices: int, trace_steps: int = 64) -> DryrunOut:
+    """Compile + execute the sharded proving pipeline on an n-device mesh
+    (used by __graft_entry__.dryrun_multichip) — with the flagship
+    MidenAir workload, and every Merkle root compared byte-for-byte
+    against the single-device pipeline.
+
+    The single-device roots are read from the COMMITTED golden file
+    (regenerated by tools/regen_dryrun_golden.py; pinned by the
+    slow-lane test test_sharded.py) rather than recomputed live: the
+    driver's dryrun budget on a 2-CPU box does not fit compiling and
+    running the heavy MidenAir pipeline twice (MULTICHIP_r04 rc:124),
+    and the reference values are deterministic."""
+    import json
+    import os
+
+    mesh = make_mesh(n_devices)
+    air, trace, aux, aux_rand_ints = _dryrun_air_and_traces(trace_steps)
+
+    if trace_steps == 64 and os.path.exists(_GOLDEN_PATH):
+        with open(_GOLDEN_PATH) as f:
+            ref = json.load(f)["roots"]
+    else:
+        ref = single_device_dryrun_roots(trace_steps)
+
+    sharded = _pipeline_roots(air, trace, aux, aux_rand_ints, 3,
                               place=functools.partial(shard_domain, mesh))
     ok = all(
-        np.array_equal(np.asarray(jax.device_get(a)),
-                       np.asarray(jax.device_get(b)))
-        for ra, rb in zip(ref, sharded) for a, b in zip(ra, rb))
+        int(np.asarray(jax.device_get(a))) == int(b)
+        for ra, rb in zip(sharded, ref) for a, b in zip(ra, rb))
     return DryrunOut(*sharded, matches_single_device=ok)

@@ -107,6 +107,7 @@ class TestShardedStages:
 
 
 class TestMidenDryrun:
+    @pytest.mark.slow
     def test_midenair_dryrun_value_equality(self, mesh):
         """The flagship MidenAir (chiplet trace included) through the
         sharded pipeline: every root byte-identical to single-device."""
@@ -114,3 +115,15 @@ class TestMidenDryrun:
         out = dryrun_prove_core(8)
         assert len(out.main_root) == 8
         assert out.matches_single_device
+
+    @pytest.mark.slow
+    def test_dryrun_golden_roots_not_stale(self):
+        """The committed golden file the driver gate compares against must
+        match a LIVE single-device pipeline run (regen with
+        tools/regen_dryrun_golden.py after AIR/trace/NTT changes)."""
+        import json
+        from aero_tpu.parallel.sharded import (_GOLDEN_PATH,
+                                               single_device_dryrun_roots)
+        with open(_GOLDEN_PATH) as f:
+            committed = json.load(f)["roots"]
+        assert single_device_dryrun_roots() == committed
