@@ -433,6 +433,57 @@ def eval_polys_at(polys: GF, z_int: int) -> np.ndarray:
     return from_gf(core(polys, zp))
 
 
+@functools.partial(jax.jit, static_argnames=("n",))
+def power_series_dyn(bases: GF, n: int) -> GF:
+    """[b^0 .. b^(n-1)] for every scalar in bases GF[k] -> GF[k, n], with
+    the bases TRACED (one compiled module serves every z drawn by the
+    transcript; the host-int power_series builds a fresh constant chain
+    per value — ~log2(n) eager dispatches each)."""
+    k = bases.shape[0]
+    out = GF(jnp.ones((k, 1), jnp.uint32), jnp.zeros((k, 1), jnp.uint32))
+    b = bases.reshape(k, 1)
+    length = 1
+    while length < n:
+        out = gf_concat([out, mul(out, GF(jnp.broadcast_to(b.lo, out.shape),
+                                          jnp.broadcast_to(b.hi, out.shape)))],
+                        axis=-1)
+        b = mul(b, b)
+        length *= 2
+    return out
+
+
+@jax.jit
+def _eval_multi_core(polys: GF, zps: GF) -> GF:
+    """GF[w, n] coefficient rows x GF[k, n] power series -> GF[k, w]."""
+    t = mul(GF(polys.lo[None, :, :], polys.hi[None, :, :]),
+            GF(zps.lo[:, None, :], zps.hi[:, None, :]))
+    s = gf_sum(t, axis=-1)
+    return GF(s.lo.squeeze(-1), s.hi.squeeze(-1))
+
+
+def eval_polys_multi(polys: GF, zs) -> np.ndarray:
+    """Evaluate GF[w, n] coefficient rows at EVERY scalar in `zs` with one
+    compiled module: returns uint64 (k, w). Replaces k separate
+    eval_polys_at calls (k modules + k sync floors) in the prover's OOD
+    stage; chunked over w to bound the (k, w_chunk, n) term array."""
+    w, n = polys.shape
+    k = len(zs)
+    bases = to_gf(np.array([int(z) % P for z in zs], dtype=np.uint64))
+    zps = power_series_dyn(bases, n)
+    budget = max(1, (1 << 25) // max(n * k, 1))
+    if w <= budget:
+        return from_gf(_eval_multi_core(polys, zps))
+    cw = min(budget, 8)
+    pad = (-w) % cw
+    if pad:
+        z = GF(jnp.zeros((pad, n), jnp.uint32), jnp.zeros((pad, n), jnp.uint32))
+        polys = gf_concat([polys, z], axis=0)
+    out = np.concatenate(
+        [from_gf(_eval_multi_core(polys[i:i + cw], zps))
+         for i in range(0, w + pad, cw)], axis=1)
+    return out[:, :w]
+
+
 def gf_cumprod(x: GF, axis: int = -1) -> GF:
     """Inclusive prefix product along `axis` (log-depth associative scan) —
     the device-side running-product bus builder primitive."""

@@ -63,19 +63,34 @@ _CHUNK_ELEMS = 1 << 27
 
 
 def _intt_lde_chunked(trace: GF, log_blowup: int, offset: int):
-    """(iNTT, coset-LDE) over GF[w, n], chunked along the column axis."""
+    """(iNTT, coset-LDE) over GF[w, n], chunked along the column axis.
+
+    Chunks are a UNIFORM 12 columns wide for the Miden widths (72 = 6x12;
+    the 9-col aux segment is zero-padded to 12): every chunk then hits
+    the SAME compiled (12, n) iNTT/LDE modules — main and aux segments
+    included — instead of one distinct module per width, which through
+    the axon relay costs seconds of per-module first-load each cold
+    process."""
     w, n = trace.shape
     m = n << log_blowup
-    chunk = max(1, min(w, _CHUNK_ELEMS // max(m, 1)))
-    if chunk >= w:
+    budget = max(1, _CHUNK_ELEMS // max(m, 1))
+    if w <= budget and w % 12 != 0 and w != 9:
         polys = intt(trace)
         return polys, lde(polys, log_blowup, offset)
+    cw = 12 if budget >= 12 else budget
+    pad = (-w) % cw
+    padded = trace
+    if pad:
+        z = GF(jnp.zeros((pad, n), jnp.uint32), jnp.zeros((pad, n), jnp.uint32))
+        padded = gf_concat([trace, z], axis=0)
     polys_parts, lde_parts = [], []
-    for i in range(0, w, chunk):
-        p = intt(trace[i:i + chunk])
+    for i in range(0, w + pad, cw):
+        p = intt(padded[i:i + cw])
         polys_parts.append(p)
         lde_parts.append(lde(p, log_blowup, offset))
-    return (gf_concat(polys_parts, axis=0), gf_concat(lde_parts, axis=0))
+    polys = gf_concat(polys_parts, axis=0)
+    lde_full = gf_concat(lde_parts, axis=0)
+    return polys[:w], lde_full[:w]
 
 
 def _tile(vals: List[int], m: int) -> GF:
@@ -83,6 +98,80 @@ def _tile(vals: List[int], m: int) -> GF:
     arr = np.array(vals, dtype=np.uint64)
     reps = m // len(vals)
     return to_gf(np.tile(arr, reps))
+
+
+import functools as _functools  # noqa: E402
+import jax as _jx  # noqa: E402
+
+
+@_functools.partial(_jx.jit, static_argnames=("m", "w_lde", "offset",
+                                              "g_last", "zt_vals", "points"))
+def _ceval_static_jit(m: int, w_lde: int, offset: int, g_last: int,
+                      zt_vals: tuple, points: tuple):
+    """Transcript-INDEPENDENT constraint-eval prelude as ONE compiled
+    module: x over the LDE domain, the tiled transition-divisor inverse,
+    and the boundary-divisor inverses. Everything here is a pure function
+    of the AIR shape, so the result is cached per air and reused by every
+    proof (the eager version cost ~1 s/proof of sync floors and a long
+    tail of tiny per-shape relay modules)."""
+    x_dom = power_series(w_lde, m, offset)
+    blowup = len(zt_vals)
+    zt = to_gf(np.array(zt_vals, dtype=np.uint64))                 # (blowup,)
+    shifted = sub(x_dom, gf_full((m,), g_last))
+    sh2 = GF(shifted.lo.reshape(m // blowup, blowup),
+             shifted.hi.reshape(m // blowup, blowup))
+    zt_inv = mul(sh2, GF(jnp.broadcast_to(zt.lo, sh2.shape),
+                         jnp.broadcast_to(zt.hi, sh2.shape))).reshape(m)
+    denom = gf_concat([sub(x_dom, gf_full((1, m), p)).reshape(1, m)
+                       for p in points], axis=0)
+    denom_inv = batch_inv(denom, axis=-1)
+    return x_dom, zt_inv, denom_inv
+
+
+@_functools.partial(_jx.jit, static_argnames=("ce_n", "inv_off"))
+def _composition_post(merged: GF, ce_n: int, inv_off: int):
+    """intt + coset-divide + canonicalize + degree-tail check, one module."""
+    m = merged.shape[-1]
+    c_coeffs = mul(intt(merged), power_series(inv_off, m))
+    cc = canonicalize(c_coeffs)
+    tail = jnp.any(cc.lo[ce_n:] | cc.hi[ce_n:])
+    return cc, tail
+
+
+def _lde_chunked(polys: GF, log_blowup: int, offset: int) -> GF:
+    """Coset LDE of GF[w, n] polynomials via the shared 12-col modules."""
+    w, n = polys.shape
+    cw = 12
+    pad = (-w) % cw
+    if pad:
+        z = GF(jnp.zeros((pad, n), jnp.uint32), jnp.zeros((pad, n), jnp.uint32))
+        polys = gf_concat([polys, z], axis=0)
+    parts = [lde(polys[i:i + cw], log_blowup, offset)
+             for i in range(0, w + pad, cw)]
+    out = parts[0] if len(parts) == 1 else gf_concat(parts, axis=0)
+    return out[:w]
+
+
+def _ceval_static(air):
+    """Per-air cache of (x_dom, zt_inv, denom_inv, points)."""
+    cache = air.__dict__.setdefault("_prover_cache", {})
+    if "ceval_static" not in cache:
+        n = air.trace_length
+        blowup = air.options.blowup_factor
+        m = n * blowup
+        offset = F.DOMAIN_OFFSET
+        g_trace = air.trace_generator
+        w_lde = air.lde_generator
+        wn = F.exp(w_lde, n)
+        on = F.exp(offset, n)
+        zt_vals = tuple(F.batch_inv(
+            [F.sub(F.mul(on, F.exp(wn, t)), 1) for t in range(blowup)]))
+        points = tuple(sorted({F.exp(g_trace, a.step)
+                               for a in air.get_assertions()}))
+        x_dom, zt_inv, denom_inv = _ceval_static_jit(
+            m, w_lde, offset, F.exp(g_trace, n - 1), zt_vals, points)
+        cache["ceval_static"] = (x_dom, zt_inv, denom_inv, points)
+    return cache["ceval_static"]
 
 
 def _grind_pow(coin: RandomCoin, grinding_bits: int) -> int:
@@ -251,21 +340,12 @@ def stage_constraint_eval(air: Air, st: ProverState) -> None:
         k = m - i0            # wraparound (last fragment's nxt frame)
         return gf_concat([x[..., i0:], x[..., :m_frag - k]], axis=-1)
 
-    # x over the LDE domain; divisor pieces computed full-domain (cheap:
-    # single columns), sliced per fragment
-    x_dom = power_series(w_lde, m, offset)
-    wn = F.exp(w_lde, n)                       # order `blowup`
-    on = F.exp(offset, n)
-    zt_vals = [F.sub(F.mul(on, F.exp(wn, t)), 1) for t in range(blowup)]
-    zt_inv_tiled = _tile(F.batch_inv(zt_vals), m)
-    zt_inv = mul(sub(x_dom, gf_full((m,), F.exp(g_trace, n - 1))),
-                 zt_inv_tiled)
-
+    # x over the LDE domain + divisor inverses: transcript-independent,
+    # computed once per air in one compiled module and reused across
+    # proofs (see _ceval_static)
+    _sp = span("constraint_prelude"); _sp.__enter__()
+    x_dom, zt_inv, denom_inv, points = _ceval_static(air)
     assertions = air.get_assertions()
-    points = sorted({F.exp(g_trace, asrt.step) for asrt in assertions})
-    denom = gf_concat([sub(x_dom, gf_full((1, m), p)).reshape(1, m)
-                       for p in points], axis=0)
-    denom_inv = batch_inv(denom, axis=-1)
     point_row = {p: i for i, p in enumerate(points)}
     t_adjust = air.transition_adjustments()
     b_adjust = air.boundary_adjustments()
@@ -283,6 +363,7 @@ def stage_constraint_eval(air: Air, st: ProverState) -> None:
     bvals = to_gf(np.array([int(a.value) % F.P for a in assertions],
                            dtype=np.uint64))
     rand_gf = [to_gf(np.uint64(int(r) % F.P)) for r in st.aux_rand]
+    _sp.__exit__(None, None, None)
 
     def frag_fn(main_cur, main_nxt, aux_cur, aux_nxt, x_frag, zt_inv_f,
                 dinv_f, cc_t_a, cc_b_a, bvals_a, rands):
@@ -311,35 +392,47 @@ def stage_constraint_eval(air: Air, st: ProverState) -> None:
     # transcript-dependent values arrive as arrays. Eager on CPU (the
     # XLA:CPU jit of this module is pathologically slow — see
     # air/miden.py _build_aux_device); jitted on TPU, where the eager
-    # alternative costs ~20k relay dispatches per proof.
+    # alternative costs ~20k relay dispatches per proof. The jit wrapper
+    # is CACHED on the air instance: a fresh jax.jit(frag_fn) per proof
+    # would retrace the 112-constraint module and re-load it through the
+    # axon relay every time (~60 s of the 68 s warm fib proof, r4).
     import jax
-    runner = (frag_fn if jax.default_backend() == "cpu"
-              else jax.jit(frag_fn))
+    if jax.default_backend() == "cpu":
+        runner = frag_fn
+    else:
+        runner = getattr(air, "_frag_jit", None)
+        if runner is None or getattr(air, "_frag_jit_mfrag", None) != m_frag:
+            runner = jax.jit(frag_fn)
+            air._frag_jit = runner
+            air._frag_jit_mfrag = m_frag
 
     merged_parts = []
-    for a0 in range(0, m, m_frag):
-        merged_parts.append(runner(
-            frag(st.main_lde, a0, 0), frag(st.main_lde, a0, shift),
-            frag(st.aux_lde, a0, 0) if st.aux_lde is not None else None,
-            frag(st.aux_lde, a0, shift) if st.aux_lde is not None else None,
-            x_dom[a0:a0 + m_frag], zt_inv[a0:a0 + m_frag],
-            denom_inv[:, a0:a0 + m_frag], cc_t_arr, cc_b_arr, bvals,
-            rand_gf))
-    merged = (merged_parts[0] if len(merged_parts) == 1
-              else gf_concat(merged_parts, axis=-1))
+    with span("frag_eval", n_frags=m // m_frag):
+        for a0 in range(0, m, m_frag):
+            merged_parts.append(runner(
+                frag(st.main_lde, a0, 0), frag(st.main_lde, a0, shift),
+                frag(st.aux_lde, a0, 0) if st.aux_lde is not None else None,
+                frag(st.aux_lde, a0, shift) if st.aux_lde is not None else None,
+                x_dom[a0:a0 + m_frag], zt_inv[a0:a0 + m_frag],
+                denom_inv[:, a0:a0 + m_frag], cc_t_arr, cc_b_arr, bvals,
+                rand_gf))
+        merged = (merged_parts[0] if len(merged_parts) == 1
+                  else gf_concat(merged_parts, axis=-1))
 
     # composition polynomial -> ce columns -> LDE -> commit
     # iNTT over the coset: divide out offset powers
-    c_coeffs = mul(intt(merged), power_series(F.inv(offset), m))
-    cc = canonicalize(c_coeffs)
-    # degree check on device: coefficients past ce*n must vanish (one
-    # scalar fetch instead of downloading the whole polynomial)
-    tail_nonzero = jnp.any(cc.lo[ce * n:] | cc.hi[ce * n:])
-    assert not bool(tail_nonzero), "composition degree overflow"
-    st.col_coeffs = GF(cc.lo[:ce * n].reshape(n, ce).T,
-                       cc.hi[:ce * n].reshape(n, ce).T)
-    st.constraint_lde = lde(st.col_coeffs, log_blowup, offset)  # GF[ce, m]
-    st.constraint_tree = commit_columns(st.constraint_lde)
+    with span("composition_intt_lde"):
+        cc, tail_nonzero = _composition_post(merged, ce * n, F.inv(offset))
+        # degree check on device: coefficients past ce*n must vanish (one
+        # scalar fetch instead of downloading the whole polynomial)
+        assert not bool(tail_nonzero), "composition degree overflow"
+        st.col_coeffs = GF(cc.lo[:ce * n].reshape(n, ce).T,
+                           cc.hi[:ce * n].reshape(n, ce).T)
+        # chunked (12-col-padded) LDE: shares the (12, n) modules with
+        # the trace segments instead of compiling an (8, n) pair
+        st.constraint_lde = _lde_chunked(st.col_coeffs, log_blowup, offset)
+    with span("constraint_commit"):
+        st.constraint_tree = commit_columns(st.constraint_lde)
     st.commitments.append(st.constraint_tree.root)
     st.coin.reseed(st.constraint_tree.root)
 
@@ -348,20 +441,26 @@ def stage_ood_frames(air: Air, st: ProverState) -> None:
     ce = air.ce_blowup
     st.z = st.coin.draw()
     zg = F.mul(st.z, air.trace_generator)
-    ood_main_cur = eval_polys_at(st.main_polys, st.z).tolist()
-    ood_main_nxt = eval_polys_at(st.main_polys, zg).tolist()
+    z_m = F.exp(st.z, ce)
+    # ALL OOD evaluations in one multi-point module: the stacked
+    # (main ++ aux ++ composition) coefficient rows evaluated at
+    # {z, z*g, z^m} at once (six eval_polys_at calls cost ~1.4 s of
+    # module loads + sync floors per proof)
+    from ..field import eval_polys_multi
+    w_main = st.main_polys.shape[0]
+    segs = [st.main_polys]
     if air.aux_width:
-        ood_aux_cur = eval_polys_at(st.aux_polys, st.z).tolist()
-        ood_aux_nxt = eval_polys_at(st.aux_polys, zg).tolist()
-    else:
-        ood_aux_cur = ood_aux_nxt = []
-    st.cur_row = ood_main_cur + ood_aux_cur
-    st.nxt_row = ood_main_nxt + ood_aux_nxt
+        segs.append(st.aux_polys)
+    segs.append(st.col_coeffs)
+    stacked = segs[0] if len(segs) == 1 else gf_concat(segs, axis=0)
+    evals = eval_polys_multi(stacked, [st.z, zg, z_m])    # (3, w+ce)
+    w_trace = w_main + (air.aux_width or 0)
+    st.cur_row = [int(v) for v in evals[0, :w_trace]]
+    st.nxt_row = [int(v) for v in evals[1, :w_trace]]
     st.coin.reseed(hash_elements(st.cur_row))
     st.coin.reseed(hash_elements(st.nxt_row))
 
-    z_m = F.exp(st.z, ce)
-    st.ood_evals = eval_polys_at(st.col_coeffs, z_m).tolist()
+    st.ood_evals = [int(v) for v in evals[2, w_trace:]]
     st.coin.reseed(hash_elements(st.ood_evals))
 
 
@@ -378,7 +477,7 @@ def stage_deep_composition(air: Air, st: ProverState) -> None:
     deep_constraints = st.coin.draw_elements(ce)
     lam, mu = st.coin.draw_pair()
 
-    x_dom = power_series(w_lde, m, F.DOMAIN_OFFSET)
+    x_dom = _ceval_static(air)[0]     # cached per air
 
     def vec(ints) -> GF:
         return to_gf(np.array([int(v) % F.P for v in ints],

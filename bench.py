@@ -206,44 +206,93 @@ def _enable_compile_cache():
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 
+# ----------------------------------------------------------- budget runner
+#
+# The driver runs bench.py under an unknown external `timeout`; a bench
+# that hangs past it records NOTHING for the metrics it never reached
+# (BENCH_r04 rc:124). Budget discipline instead: a watchdog force-exits
+# rc:0 just before BENCH_BUDGET_S, printing a "skipped" record for every
+# planned metric still unfinished — every metric is always recorded,
+# either with a value or with an explicit skip.
+
+BENCH_BUDGET_S = float(__import__("os").environ.get("BENCH_BUDGET_S", 1500))
+_T0 = time.monotonic()
+_PRINTED: set = set()
+_PLAN: list = []
+
+
+def _emit(metric: str, value, unit: str, vs_baseline=None):
+    _PRINTED.add(metric)
+    print(json.dumps({"metric": metric, "value": value, "unit": unit,
+                      "vs_baseline": vs_baseline}), flush=True)
+
+
+def _skip(metric: str, why: str):
+    _PRINTED.add(metric)
+    print(json.dumps({"metric": metric, "value": None, "unit": "skipped",
+                      "vs_baseline": None, "skipped": why}), flush=True)
+
+
+def _remaining() -> float:
+    return BENCH_BUDGET_S - (time.monotonic() - _T0)
+
+
+def _watchdog():
+    import os
+    import threading
+
+    def fire():
+        for m in _PLAN:
+            if m not in _PRINTED:
+                _skip(m, "bench budget exhausted (watchdog)")
+        sys.stdout.flush()
+        os._exit(0)
+
+    t = threading.Timer(max(5.0, BENCH_BUDGET_S - 10.0), fire)
+    t.daemon = True
+    t.start()
+
+
 def main():
     import jax  # noqa: F401  (platform comes from the environment: TPU)
     _enable_compile_cache()
+    _PLAN.extend(["goldilocks_ntt_butterflies_per_s_per_chip",
+                  "merkle_commit_2e20_leaves_s",
+                  "fib_2e10_proof_wall_clock",
+                  "fib_2e10_proof_size",
+                  "miden_2e20_row_proof_wall_clock"])
+    _watchdog()
+
     rate, dt = bench_ntt()
-    out = {
-        "metric": "goldilocks_ntt_butterflies_per_s_per_chip",
-        "value": round(rate, 1),
-        "unit": "butterflies/s",
-        "vs_baseline": round(rate / BASELINE_BUTTERFLIES_PER_S, 3),
-    }
-    print(json.dumps(out))
-    # DEFAULT driver-visible metrics: the e2e proof wall clocks at the
-    # golden workload and the BASELINE 2^20-row scale-up, plus the
-    # 2^20-leaf Merkle commit (round-3 verdict items #3/#4)
-    pdt, psize = bench_proof()
-    print(json.dumps({"metric": "fib_2e10_proof_wall_clock",
-                      "value": round(pdt, 3), "unit": "s",
-                      "vs_baseline": None}))
-    print(json.dumps({"metric": "fib_2e10_proof_size",
-                      "value": psize, "unit": "bytes",
-                      "vs_baseline": round(psize / 50303, 3)}))
+    _emit("goldilocks_ntt_butterflies_per_s_per_chip", round(rate, 1),
+          "butterflies/s", round(rate / BASELINE_BUTTERFLIES_PER_S, 3))
+
     mrate, mdt = bench_merkle()
-    print(json.dumps({"metric": "merkle_commit_2e20_leaves_s",
-                      "value": round(mdt, 4), "unit": "s",
-                      "vs_baseline": None}))
-    sdt, ssize = bench_proof_scale()
-    print(json.dumps({"metric": "miden_2e20_row_proof_wall_clock",
-                      "value": round(sdt, 3), "unit": "s",
-                      "vs_baseline": None}))
+    _emit("merkle_commit_2e20_leaves_s", round(mdt, 4), "s")
+
+    # e2e proof wall clocks: golden workload (warm = steady-state second
+    # proof in the same process) and the BASELINE 2^20-row scale-up
+    if _remaining() > 240:
+        pdt, psize = bench_proof()
+        _emit("fib_2e10_proof_wall_clock", round(pdt, 3), "s")
+        _emit("fib_2e10_proof_size", psize, "bytes",
+              round(psize / 50303, 3))
+    else:
+        _skip("fib_2e10_proof_wall_clock", "insufficient budget")
+        _skip("fib_2e10_proof_size", "insufficient budget")
+
+    if _remaining() > 420:
+        sdt, ssize = bench_proof_scale()
+        _emit("miden_2e20_row_proof_wall_clock", round(sdt, 3), "s")
+    else:
+        _skip("miden_2e20_row_proof_wall_clock", "insufficient budget")
+
     if "--all" in sys.argv:
         hrate, hdt = bench_hash()
-        print(json.dumps({"metric": "blake2s_leaf_hashes_per_s_2e20x72",
-                          "value": round(hrate, 1), "unit": "hashes/s",
-                          "vs_baseline": None}))
+        _emit("blake2s_leaf_hashes_per_s_2e20x72", round(hrate, 1),
+              "hashes/s")
         mulrate, _ = bench_mul()
-        print(json.dumps({"metric": "goldilocks_mul_per_s",
-                          "value": round(mulrate, 1), "unit": "muls/s",
-                          "vs_baseline": None}))
+        _emit("goldilocks_mul_per_s", round(mulrate, 1), "muls/s")
 
 
 if __name__ == "__main__":

@@ -18,6 +18,8 @@ chiplet ordering design (SURVEY.md 2.10).
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from aero_tpu.vm import (execute, program_hash, rom_listing,
                          COL_STACK, COL_H0, COL_PC, COL_IMM,
                          CH_CA, CH_CM, CH_CF, CH_CL, CH_C1, CH_C2,

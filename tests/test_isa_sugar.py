@@ -95,6 +95,7 @@ class TestProcLocals:
             execute(src, [])
 
 
+@pytest.mark.slow
 class TestSugarProof:
     def test_proves_and_verifies(self):
         # one program through every sugar family, proven end-to-end

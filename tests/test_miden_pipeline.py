@@ -65,6 +65,7 @@ def miden_proof():
     return proof, pub, air
 
 
+@pytest.mark.slow
 class TestMidenProofs:
     def test_shape_matches_reference(self, miden_proof):
         proof, pub, air = miden_proof

@@ -2,6 +2,8 @@
 
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from aero_tpu.sdk import (prove, prove_sequential, ProofSubmissionService,
                           proof_to_pb, _proof_from_pb, public_inputs_to_pb,
                           _public_inputs_from_pb, options_to_pb, pb,

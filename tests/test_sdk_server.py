@@ -3,6 +3,8 @@ never implements it) + advice tape through the SDK."""
 
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from aero_tpu.sdk import prove, DEFAULT_OPTIONS, options_to_pb
 from aero_tpu.sdk.pb import aero_pb2 as pb
 from aero_tpu.sdk.server import (SubmissionServer, submit_proof_remote,

@@ -135,3 +135,69 @@ class TestGoldenProof:
         proof.pow_nonce += 1
         with pytest.raises(Exception):
             verify(proof, pub)
+
+
+class TestMalformedProofsFailClosed:
+    """Malformed SHAPES must raise VerificationError, never IndexError/
+    AssertionError — the verifier is the security boundary (VERDICT r4
+    weak #7)."""
+
+    def _expect(self, mutate):
+        from aero_tpu.spec.verifier import VerificationError
+        pub, proof = load_proof_file(GOLDEN)
+        mutate(proof)
+        with pytest.raises(VerificationError):
+            verify(proof, pub)
+
+    def test_missing_aux_segment_queries(self):
+        self._expect(lambda p: p.trace_queries.pop())
+
+    def test_no_trace_queries_at_all(self):
+        self._expect(lambda p: p.trace_queries.clear())
+
+    def test_truncated_main_query_values(self):
+        def m(p):
+            q = p.trace_queries[0]
+            q.values = q.values[:-8]
+        self._expect(m)
+
+    def test_truncated_constraint_query_values(self):
+        def m(p):
+            p.constraint_queries.values = p.constraint_queries.values[:40]
+        self._expect(m)
+
+    def test_oversized_remainder(self):
+        def m(p):
+            p.fri_proof.remainder = p.fri_proof.remainder * 9
+        self._expect(m)
+
+    def test_empty_remainder(self):
+        def m(p):
+            p.fri_proof.remainder = b""
+        self._expect(m)
+
+    def test_missing_fri_layer(self):
+        self._expect(lambda p: p.fri_proof.layers.pop())
+
+    def test_truncated_ood_frame(self):
+        def m(p):
+            p.ood_frame.trace_states = p.ood_frame.trace_states[:-16]
+        self._expect(m)
+
+    def test_empty_ood_evaluations(self):
+        def m(p):
+            p.ood_frame.evaluations = b""
+        self._expect(m)
+
+    def test_missing_commitment(self):
+        self._expect(lambda p: p.commitments.pop())
+
+    def test_truncated_commitment_digest(self):
+        def m(p):
+            p.commitments[0] = p.commitments[0][:31]
+        self._expect(m)
+
+    def test_fri_layer_values_truncated(self):
+        def m(p):
+            p.fri_proof.layers[0].values = p.fri_proof.layers[0].values[:64]
+        self._expect(m)

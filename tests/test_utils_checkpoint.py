@@ -25,6 +25,7 @@ def setup():
     return air, build_fib_trace(N), pub
 
 
+@pytest.mark.slow
 class TestTracing:
     def test_spans_recorded(self, setup):
         air, trace, pub = setup
@@ -42,6 +43,7 @@ class TestTracing:
         verify(proof, pub, air=air)
 
 
+@pytest.mark.slow
 class TestResume:
     def test_resumable_equals_direct(self, setup, tmp_path):
         air, trace, pub = setup

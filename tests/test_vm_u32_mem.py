@@ -92,6 +92,7 @@ class TestOverflowTable:
         assert list(tr[COL_OVF][:5]) == [0, 1, 2, 1, 0]
 
 
+@pytest.mark.slow
 class TestU32Proofs:
     OPTS = ProofOptions(num_queries=13, blowup_factor=8, grinding_factor=4)
 
@@ -160,6 +161,7 @@ class TestU32Proofs:
             verify(proof, pub, air=air)
 
 
+@pytest.mark.slow
 class TestNonEmptyOverflow:
     OPTS = ProofOptions(num_queries=7, blowup_factor=8, grinding_factor=1)
 

@@ -168,6 +168,7 @@ def wide_proof():
     return proof, pub, air
 
 
+@pytest.mark.slow
 class TestWideProof:
     def test_verifies_with_full_constraint_check(self, wide_proof):
         proof, pub, air = wide_proof
