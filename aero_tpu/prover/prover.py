@@ -77,7 +77,7 @@ def _intt_lde_chunked(trace: GF, log_blowup: int, offset: int):
     if w <= budget and w % 12 != 0 and w != 9:
         polys = intt(trace)
         return polys, lde(polys, log_blowup, offset)
-    cw = 12 if budget >= 12 else budget
+    cw = _uniform_chunk(m, budget)
     pad = (-w) % cw
     padded = trace
     if pad:
@@ -86,11 +86,14 @@ def _intt_lde_chunked(trace: GF, log_blowup: int, offset: int):
     polys_parts, lde_parts = [], []
     for i in range(0, w + pad, cw):
         p = intt(padded[i:i + cw])
+        q = lde(p, log_blowup, offset)
+        if i + cw > w:          # drop pad columns from the LAST chunk
+            p, q = p[:w - i], q[:w - i]
         polys_parts.append(p)
-        lde_parts.append(lde(p, log_blowup, offset))
-    polys = gf_concat(polys_parts, axis=0)
-    lde_full = gf_concat(lde_parts, axis=0)
-    return polys[:w], lde_full[:w]
+        lde_parts.append(q)
+    # (a full-width [:w] slice AFTER the concat would copy the whole
+    # 4.8 GB LDE at the 2^20-row scale — transient OOM)
+    return (gf_concat(polys_parts, axis=0), gf_concat(lde_parts, axis=0))
 
 
 def _tile(vals: List[int], m: int) -> GF:
@@ -138,18 +141,33 @@ def _composition_post(merged: GF, ce_n: int, inv_off: int):
     return cc, tail
 
 
+def _uniform_chunk(m: int, budget: int) -> int:
+    """Column-chunk width: a divisor of 12 so every chunk shape is
+    shared, sized so one LDE pass's working set fits HBM headroom at the
+    2^20-row scale (the NTT materializes several m-length buffers per
+    column; 12-wide chunks at m = 2^23 OOM a 16 GB chip mid-pipeline)."""
+    for cw in (12, 6, 4, 3, 2):
+        if cw * m <= (1 << 26) and cw <= max(budget, 1):
+            return cw
+    return 1
+
+
 def _lde_chunked(polys: GF, log_blowup: int, offset: int) -> GF:
-    """Coset LDE of GF[w, n] polynomials via the shared 12-col modules."""
+    """Coset LDE of GF[w, n] polynomials via the shared chunk modules."""
     w, n = polys.shape
-    cw = 12
+    m = n << log_blowup
+    cw = _uniform_chunk(m, max(1, _CHUNK_ELEMS // max(m, 1)))
     pad = (-w) % cw
     if pad:
         z = GF(jnp.zeros((pad, n), jnp.uint32), jnp.zeros((pad, n), jnp.uint32))
         polys = gf_concat([polys, z], axis=0)
-    parts = [lde(polys[i:i + cw], log_blowup, offset)
-             for i in range(0, w + pad, cw)]
-    out = parts[0] if len(parts) == 1 else gf_concat(parts, axis=0)
-    return out[:w]
+    parts = []
+    for i in range(0, w + pad, cw):
+        q = lde(polys[i:i + cw], log_blowup, offset)
+        if i + cw > w:
+            q = q[:w - i]
+        parts.append(q)
+    return parts[0] if len(parts) == 1 else gf_concat(parts, axis=0)
 
 
 def _ceval_static(air):
@@ -462,6 +480,12 @@ def stage_ood_frames(air: Air, st: ProverState) -> None:
 
     st.ood_evals = [int(v) for v in evals[2, w_trace:]]
     st.coin.reseed(hash_elements(st.ood_evals))
+    # the coefficient arrays are never read past this stage (queries
+    # open the LDE arrays); free their HBM before DEEP/FRI (~0.7 GB at
+    # the 2^20-row scale)
+    st.main_polys = None
+    st.aux_polys = None
+    st.col_coeffs = None
 
 
 def stage_deep_composition(air: Air, st: ProverState) -> None:
