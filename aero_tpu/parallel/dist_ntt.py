@@ -58,11 +58,21 @@ def _mid_twiddles(k1: int, k2: int, invert: bool):
             (T >> np.uint64(32)).astype(np.uint32))
 
 
-def dist_ntt(mesh: Mesh, x: GF, invert: bool = False,
-             axis: str = "shard") -> GF:
-    """Size-n NTT/iNTT of GF[n] sharded contiguously over `mesh`.
-    Returns the result in natural order with the same sharding."""
-    n = x.shape[-1]
+_jit_cache: dict = {}
+
+
+def _dist_ntt_fn(mesh: Mesh, batch: tuple, n: int, invert: bool, axis: str):
+    """Jitted shard_map NTT for a fixed (mesh, shape): the body is plain
+    per-device code — no GSPMD partitioner pass — so it compiles in
+    seconds where the partitioned whole-array jit takes minutes on
+    XLA:CPU (and the jit makes the module ONE dispatch; eager shard_map
+    costs ~10^2 sharded dispatches)."""
+    key = (tuple(d.id for d in mesh.devices.flat), mesh.axis_names,
+           batch, n, invert, axis)
+    if key in _jit_cache:
+        return _jit_cache[key]
+
+    nb = int(np.prod(batch, dtype=np.int64)) if batch else 1
     log_n = n.bit_length() - 1
     D = mesh.devices.size
     k1 = 1 << (log_n // 2)
@@ -70,65 +80,88 @@ def dist_ntt(mesh: Mesh, x: GF, invert: bool = False,
     l1, l2 = k1 // D, k2 // D
     assert l1 >= 1 and l2 >= 1, "mesh too large for this transform size"
 
-    tlo, thi = _mid_twiddles(k1, k2, invert)
-    sh = NamedSharding(mesh, P(axis))
-    T = GF(jax.device_put(jnp.asarray(tlo), sh),
-           jax.device_put(jnp.asarray(thi), sh))
-    x = GF(jax.device_put(x.lo, sh), jax.device_put(x.hi, sh))
-
-    def a2a(v: GF) -> GF:
-        return GF(jax.lax.all_to_all(v.lo, axis, 1, 0),
-                  jax.lax.all_to_all(v.hi, axis, 1, 0))
+    def a2a(v: GF, split: int, concat: int) -> GF:
+        return GF(jax.lax.all_to_all(v.lo, axis, split, concat),
+                  jax.lax.all_to_all(v.hi, axis, split, concat))
 
     def t(v: GF) -> GF:
-        return GF(v.lo.T, v.hi.T)
+        return GF(jnp.swapaxes(v.lo, -1, -2), jnp.swapaxes(v.hi, -1, -2))
 
     # decomposition (verified bit-exact): i = i1 + k1*i2, o = o2 + k2*o1,
     #   out[o2 + k2*o1] =
     #     sum_i1 w1^(i1 o1) w_n^(i1 o2) sum_i2 w2^(i2 o2) x[i1 + k1*i2]
-    @functools.partial(shard_map, mesh=mesh, in_specs=(P(axis), P(axis)),
-                       out_specs=P(axis))
+    @functools.partial(shard_map, mesh=mesh,
+                       in_specs=(P(*([None] * len(batch) + [axis])), P(axis)),
+                       out_specs=P(*([None] * len(batch) + [axis])))
     def run(xl: GF, tl: GF) -> GF:
-        # local view (l2, k1): [i2_local][i1], flat = i1 + k1*i2
+        # local view (b, l2, k1): [i2_local][i1], flat = i1 + k1*i2
         # all-to-all #1: localize i2 (the inner-DFT axis), split i1
-        b = a2a(xl.reshape(l2, k1).reshape(l2, D, l1))      # (D, l2, l1)
-        b = b.reshape(k2, l1)                   # [i2][i1_local]
-        a = _ntt_core(t(b), k2.bit_length() - 1, invert)    # [i1l][o2]
-        a = mul(a, tl.reshape(l1, k2))          # twiddle w_n^(i1 o2)
+        # (a2a removes the split axis and INSERTS a new device axis at
+        # `concat`; the explicit reshape merges it with the local dim)
+        b = a2a(xl.reshape(nb, l2, D, l1), 2, 1)            # (b, D, l2, l1)
+        b = b.reshape(nb, k2, l1)                           # [b][i2][i1l]
+        a = _ntt_core(t(b), k2.bit_length() - 1, invert)    # [b][i1l][o2]
+        a = mul(a, GF(jnp.broadcast_to(tl.lo.reshape(l1, k2), (nb, l1, k2)),
+                      jnp.broadcast_to(tl.hi.reshape(l1, k2), (nb, l1, k2))))
         # all-to-all #2: localize i1 (the outer-DFT axis), split o2
-        c = a2a(a.reshape(l1, D, l2))                       # (D, l1, l2)
-        c = c.reshape(k1, l2)                   # [i1][o2_local]
-        e = _ntt_core(t(c), k1.bit_length() - 1, invert)    # [o2l][o1]
+        c = a2a(a.reshape(nb, l1, D, l2), 2, 1)             # (b, D, l1, l2)
+        c = c.reshape(nb, k1, l2)                           # [b][i1][o2l]
+        e = _ntt_core(t(c), k1.bit_length() - 1, invert)    # [b][o2l][o1]
         # all-to-all #3: back to the natural contiguous output sharding
-        f = a2a(e.reshape(l2, D, l1))                       # (D, l2, l1)
-        f = f.reshape(k2, l1)                   # [o2][o1_local]
-        return t(f).reshape(-1)     # flat = o1l*k2 + o2 -> out[o2+k2*o1]
+        f = a2a(e.reshape(nb, l2, D, l1), 2, 1)             # (b, D, l2, l1)
+        f = f.reshape(nb, k2, l1)                           # [b][o2][o1l]
+        return t(f).reshape(batch + (l1 * k2,))
+        # local flat = o1l*k2 + o2 -> global out[o2 + k2*o1]
 
-    return run(x, T)
+    fn = jax.jit(run)
+    _jit_cache[key] = fn
+    return fn
+
+
+def dist_ntt(mesh: Mesh, x: GF, invert: bool = False,
+             axis: str = "shard") -> GF:
+    """Size-n NTT/iNTT of GF[..., n] with the LAST axis sharded
+    contiguously over `mesh` (leading axes are batch, replicated).
+    Returns the result in natural order with the same sharding."""
+    n = x.shape[-1]
+    batch = x.shape[:-1]
+    k1 = 1 << ((n.bit_length() - 1) // 2)
+    tlo, thi = _mid_twiddles(k1, n // k1, invert)
+    sh = NamedSharding(mesh, P(*([None] * len(batch) + [axis])))
+    sh_t = NamedSharding(mesh, P(axis))
+    T = GF(jax.device_put(jnp.asarray(tlo), sh_t),
+           jax.device_put(jnp.asarray(thi), sh_t))
+    x = GF(jax.device_put(x.lo, sh), jax.device_put(x.hi, sh))
+    return _dist_ntt_fn(mesh, batch, n, invert, axis)(x, T)
 
 
 def dist_lde(mesh: Mesh, evals: GF, log_blowup: int,
              offset: int = F.DOMAIN_OFFSET, axis: str = "shard") -> GF:
-    """Distributed trace-extension: iNTT -> coefficient scaling by
-    offset^i (sharded table) -> padded size-m NTT. Output: GF[m] on the
-    coset, natural order, sharded contiguously."""
+    """Distributed trace-extension of GF[..., n] (last axis sharded):
+    iNTT -> coefficient scaling by offset^i (sharded table) -> padded
+    size-m NTT. Output: GF[..., m] on the coset, natural order, sharded
+    contiguously."""
     n = evals.shape[-1]
+    batch = evals.shape[:-1]
     m = n << log_blowup
     polys = dist_ntt(mesh, evals, invert=True, axis=axis)
 
     off = np.array(F.get_power_series(offset, n), dtype=np.uint64)
-    sh = NamedSharding(mesh, P(axis))
+    sh = NamedSharding(mesh, P(*([None] * len(batch) + [axis])))
+    sh_t = NamedSharding(mesh, P(axis))
     offs = GF(jax.device_put(jnp.asarray(
-                  (off & np.uint64(0xFFFFFFFF)).astype(np.uint32)), sh),
+                  (off & np.uint64(0xFFFFFFFF)).astype(np.uint32)), sh_t),
               jax.device_put(jnp.asarray(
-                  (off >> np.uint64(32)).astype(np.uint32)), sh))
+                  (off >> np.uint64(32)).astype(np.uint32)), sh_t))
+    offs = GF(jnp.broadcast_to(offs.lo, batch + (n,)),
+              jnp.broadcast_to(offs.hi, batch + (n,)))
 
     # the zero tail must land at GLOBAL positions n..m-1, so pad at the
     # global layout level and re-place (per-shard padding would
     # interleave the zeros)
     scaled = mul(polys, offs)
-    pad_np = np.zeros(m - n, dtype=np.uint32)
-    padded = GF(jnp.concatenate([scaled.lo, jnp.asarray(pad_np)]),
-                jnp.concatenate([scaled.hi, jnp.asarray(pad_np)]))
+    zpad = jnp.zeros(batch + (m - n,), dtype=jnp.uint32)
+    padded = GF(jnp.concatenate([scaled.lo, zpad], axis=-1),
+                jnp.concatenate([scaled.hi, zpad], axis=-1))
     padded = GF(jax.device_put(padded.lo, sh), jax.device_put(padded.hi, sh))
     return dist_ntt(mesh, padded, invert=False, axis=axis)

@@ -209,6 +209,75 @@ def stage_fri_fold(evals: GF, alpha: GF, ff: int):
     return fold_evals_gf(evals, alpha, ff)
 
 
+# ----------------------------------------------- explicit shard_map pipeline
+#
+# The GSPMD stages above let XLA's partitioner place collectives; the
+# functions below are the EXPLICIT formulation (shard_map bodies with the
+# halo exchanges / all-to-alls written out). Two reasons to have both:
+# (a) the explicit path is the multi-host north star's shape (SURVEY §7.9)
+# — its communication volume is known by construction; (b) the bodies are
+# plain per-device programs, so XLA:CPU compiles them in seconds where
+# the partitioner needs minutes (MULTICHIP_r04 rc:124) — which makes the
+# driver's 8-virtual-device dryrun fit its budget.
+
+_spmd_cache: dict = {}
+
+
+def _mesh_key(mesh: Mesh):
+    return (tuple(d.id for d in mesh.devices.flat), mesh.axis_names)
+
+
+def dist_lde_coeffs_cols(mesh: Mesh, polys: GF, log_blowup: int,
+                         offset: int = F.DOMAIN_OFFSET,
+                         axis: str = "shard") -> GF:
+    """Coset LDE of GF[w, n] coefficient columns (domain axis sharded):
+    scale by offset^i, zero-pad to m, explicit distributed NTT. Column
+    chunks padded to a UNIFORM 12 wide so every segment (main 72, aux 9,
+    composition 8) hits the same compiled module (the same trick as the
+    prover's _intt_lde_chunked)."""
+    from .dist_ntt import dist_ntt
+    w, n = polys.shape
+    cw = 12
+    pad = (-w) % cw
+    if pad:
+        z = GF(jnp.zeros((pad, n), jnp.uint32), jnp.zeros((pad, n), jnp.uint32))
+        polys = gf_concat([polys, z], axis=0)
+    offs = to_gf(np.array(F.get_power_series(offset, n), dtype=np.uint64))
+    parts = []
+    for i in range(0, w + pad, cw):
+        p = polys[i:i + cw]
+        scaled = mul(p, GF(jnp.broadcast_to(offs.lo, p.shape),
+                           jnp.broadcast_to(offs.hi, p.shape)))
+        zt = jnp.zeros((cw, (n << log_blowup) - n), jnp.uint32)
+        padded = GF(jnp.concatenate([scaled.lo, zt], axis=-1),
+                    jnp.concatenate([scaled.hi, zt], axis=-1))
+        q = dist_ntt(mesh, padded, invert=False, axis=axis)
+        if i + cw > w:
+            q = q[:w - i]
+        parts.append(q)
+    return gf_concat(parts, axis=0) if len(parts) > 1 else parts[0]
+
+
+def dist_lde_cols(mesh: Mesh, trace: GF, log_blowup: int,
+                  offset: int = F.DOMAIN_OFFSET, axis: str = "shard"):
+    """(iNTT, coset-LDE) of GF[w, n] evaluation columns, domain axis
+    sharded, via the explicit shard_map NTT (12-wide uniform chunks)."""
+    from .dist_ntt import dist_ntt
+    w, n = trace.shape
+    cw = 12
+    pad = (-w) % cw
+    if pad:
+        z = GF(jnp.zeros((pad, n), jnp.uint32), jnp.zeros((pad, n), jnp.uint32))
+        trace = gf_concat([trace, z], axis=0)
+    polys_parts = []
+    for i in range(0, w + pad, cw):
+        polys_parts.append(dist_ntt(mesh, trace[i:i + cw], invert=True,
+                                    axis=axis))
+    polys = (gf_concat(polys_parts, axis=0) if len(polys_parts) > 1
+             else polys_parts[0])[:w]
+    return polys, dist_lde_coeffs_cols(mesh, polys, log_blowup, offset, axis)
+
+
 # ------------------------------------------------------------------- dry run
 
 class DryrunOut(NamedTuple):
@@ -220,16 +289,28 @@ class DryrunOut(NamedTuple):
 
 
 def _pipeline_roots(air, trace: GF, aux: GF, aux_rand_ints, log_blowup: int,
-                    place):
-    """Run LDE -> commit -> composition -> DEEP -> FRI-fold -> commit with
-    every domain-axis array placed by `place` (identity = single device,
-    shard_domain = GSPMD over the mesh). Returns the four roots."""
-    opts = air.options
-    trace = place(trace)
-    aux = place(aux)
+                    place, mesh: Optional[Mesh] = None):
+    """Run LDE -> commit -> composition -> DEEP -> FRI-fold -> commit and
+    return the four roots.
 
-    _, main_lde_ = stage_lde(trace, log_blowup)
-    _, aux_lde_ = stage_lde(aux, log_blowup)
+    Two modes, bit-identical outputs:
+    - mesh=None: single device, arrays placed by `place` (the golden
+      reference path, tools/regen_dryrun_golden.py);
+    - mesh: LDEs run through the EXPLICIT shard_map distributed NTT
+      (written-out all-to-alls, dist_ntt.py) — per-device bodies compile
+      in seconds where the GSPMD-partitioned stage_lde jit took minutes
+      on XLA:CPU (MULTICHIP_r04 rc:124); composition/DEEP stay eager on
+      the sharded arrays (see the in-line note)."""
+    opts = air.options
+
+    if mesh is None:
+        trace = place(trace)
+        aux = place(aux)
+        _, main_lde_ = stage_lde(trace, log_blowup)
+        _, aux_lde_ = stage_lde(aux, log_blowup)
+    else:
+        _, main_lde_ = dist_lde_cols(mesh, trace, log_blowup)
+        _, aux_lde_ = dist_lde_cols(mesh, aux, log_blowup)
     main_root = stage_commit(main_lde_)
     aux_root = stage_commit(aux_lde_)
 
@@ -237,13 +318,15 @@ def _pipeline_roots(air, trace: GF, aux: GF, aux_rand_ints, log_blowup: int,
     nt, nb = air.num_transition_constraints, air.num_assertions
     cc_t = [(gf_scalar(11 + i), gf_scalar(13 + i)) for i in range(nt)]
     cc_b = [(gf_scalar(17 + i), gf_scalar(19 + i)) for i in range(nb)]
-    # NOT wrapped in jax.jit: the 112-constraint MidenAir module under
-    # SPMD partitioning takes tens of minutes to compile on XLA:CPU;
-    # eager ops on sharded inputs follow the data's sharding op-by-op
-    # (identical values, collectives still inserted where needed) and
-    # keep the dryrun inside the driver's budget.
-    constraint_lde = stage_composition(air, main_lde_, aux_lde_, aux_rand,
-                                       cc_t, cc_b, log_blowup=log_blowup)
+    # EAGER in both modes: any jit of the 112-constraint MidenAir module
+    # on XLA:CPU — GSPMD-partitioned OR as a plain shard_map body — hits
+    # the wide-fanout compile pathology (>14 min measured for the
+    # shard_map body; the partitioned version killed MULTICHIP_r04).
+    # Eager ops on sharded inputs follow the data's sharding op-by-op
+    # (identical values, collectives still inserted where needed).
+    constraint_lde = stage_composition(air, main_lde_, aux_lde_,
+                                       aux_rand, cc_t, cc_b,
+                                       log_blowup=log_blowup)
     constraint_root = stage_commit(constraint_lde)
 
     w = air.main_width + air.aux_width
@@ -253,11 +336,12 @@ def _pipeline_roots(air, trace: GF, aux: GF, aux_rand_ints, log_blowup: int,
     zeros_ce = GF(jnp.zeros((ce,), jnp.uint32), jnp.zeros((ce,), jnp.uint32))
     ones_w = GF(jnp.ones((w,), jnp.uint32), jnp.zeros((w,), jnp.uint32))
     ones_ce = GF(jnp.ones((ce,), jnp.uint32), jnp.zeros((ce,), jnp.uint32))
-    # eager for the same compile-budget reason as stage_composition above
-    deep = stage_deep(all_lde, constraint_lde, gf_scalar(98765),
-                      gf_scalar(43210), gf_scalar(55555), zeros_w, zeros_w,
-                      zeros_ce, ones_w, ones_w, ones_ce, gf_scalar(7),
-                      gf_scalar(9), w_lde=air.lde_generator)
+    deep_args = (gf_scalar(98765), gf_scalar(43210), gf_scalar(55555),
+                 zeros_w, zeros_w, zeros_ce, ones_w, ones_w, ones_ce,
+                 gf_scalar(7), gf_scalar(9))
+    # eager for the same compile-budget reason as the composition above
+    deep = stage_deep(all_lde, constraint_lde, *deep_args,
+                      w_lde=air.lde_generator)
 
     folded = stage_fri_fold(deep, gf_scalar(31337),
                             ff=opts.fri_folding_factor)
@@ -339,7 +423,7 @@ def dryrun_prove_core(n_devices: int, trace_steps: int = 64) -> DryrunOut:
         ref = single_device_dryrun_roots(trace_steps)
 
     sharded = _pipeline_roots(air, trace, aux, aux_rand_ints, 3,
-                              place=functools.partial(shard_domain, mesh))
+                              place=None, mesh=mesh)
     ok = all(
         int(np.asarray(jax.device_get(a))) == int(b)
         for ra, rb in zip(sharded, ref) for a, b in zip(ra, rb))
