@@ -62,6 +62,19 @@ def _columns_to_rows(cols: GF) -> GF:
 _CHUNK_ELEMS = 1 << 27
 
 
+import functools as _functools  # noqa: E402
+import jax as _jx  # noqa: E402
+
+
+@_functools.partial(_jx.jit, donate_argnums=(0,))
+def _gf_write(res: GF, part: GF, i) -> GF:
+    """Write `part` into donated `res` at row offset i — in place on
+    device (input/output aliasing), so assembling a (72, 2^23) LDE from
+    chunks never holds two copies of the 4.8 GB result."""
+    return GF(_jx.lax.dynamic_update_slice(res.lo, part.lo, (i, 0)),
+              _jx.lax.dynamic_update_slice(res.hi, part.hi, (i, 0)))
+
+
 def _intt_lde_chunked(trace: GF, log_blowup: int, offset: int):
     """(iNTT, coset-LDE) over GF[w, n], chunked along the column axis.
 
@@ -70,7 +83,12 @@ def _intt_lde_chunked(trace: GF, log_blowup: int, offset: int):
     the SAME compiled (12, n) iNTT/LDE modules — main and aux segments
     included — instead of one distinct module per width, which through
     the axon relay costs seconds of per-module first-load each cold
-    process."""
+    process.
+
+    Assembly is a donated in-place row write per chunk, NOT a concat:
+    concatenating the parts materializes result + parts simultaneously
+    (9.6 GB for the 72 x 2^23 main LDE — the r4/r5 2^20-scale OOM at
+    stage_trace_commit)."""
     w, n = trace.shape
     m = n << log_blowup
     budget = max(1, _CHUNK_ELEMS // max(m, 1))
@@ -83,17 +101,22 @@ def _intt_lde_chunked(trace: GF, log_blowup: int, offset: int):
     if pad:
         z = GF(jnp.zeros((pad, n), jnp.uint32), jnp.zeros((pad, n), jnp.uint32))
         padded = gf_concat([trace, z], axis=0)
-    polys_parts, lde_parts = [], []
-    for i in range(0, w + pad, cw):
+    wp = w + pad
+    polys_res = GF(jnp.zeros((wp, n), jnp.uint32),
+                   jnp.zeros((wp, n), jnp.uint32))
+    lde_res = GF(jnp.zeros((wp, m), jnp.uint32),
+                 jnp.zeros((wp, m), jnp.uint32))
+    for i in range(0, wp, cw):
         p = intt(padded[i:i + cw])
         q = lde(p, log_blowup, offset)
-        if i + cw > w:          # drop pad columns from the LAST chunk
-            p, q = p[:w - i], q[:w - i]
-        polys_parts.append(p)
-        lde_parts.append(q)
-    # (a full-width [:w] slice AFTER the concat would copy the whole
-    # 4.8 GB LDE at the 2^20-row scale — transient OOM)
-    return (gf_concat(polys_parts, axis=0), gf_concat(lde_parts, axis=0))
+        polys_res = _gf_write(polys_res, p, i)
+        lde_res = _gf_write(lde_res, q, i)
+    if pad:
+        # pad rows only exist for the small segments (aux 9 -> 12), so
+        # this trailing copy is bounded (~0.6 GB at the 2^20-row scale);
+        # the 72-column main segment divides evenly and skips it
+        polys_res, lde_res = polys_res[:w], lde_res[:w]
+    return polys_res, lde_res
 
 
 def _tile(vals: List[int], m: int) -> GF:
@@ -103,8 +126,6 @@ def _tile(vals: List[int], m: int) -> GF:
     return to_gf(np.tile(arr, reps))
 
 
-import functools as _functools  # noqa: E402
-import jax as _jx  # noqa: E402
 
 
 @_functools.partial(_jx.jit, static_argnames=("m", "w_lde", "offset",

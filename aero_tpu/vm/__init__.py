@@ -141,6 +141,8 @@ def execute_full(source: str, stack_inputs: Sequence[int],
     programs with net-positive stack growth; carried in PublicInputs —
     reference analog: ProgramOutputs.overflow_addrs,
     miden-proof-generator/src/main.rs:35-38)."""
+    from .stdlib import resolve_imports
+    source = resolve_imports(source)
     lib = _load()
     inputs = np.asarray(list(stack_inputs), dtype=np.uint64)
     adv = np.asarray(list(advice_tape or []), dtype=np.uint64)
@@ -182,6 +184,8 @@ def rom_listing(source: str) -> List[Tuple[int, int, int]]:
     (pc, op_index, imm) triples, including the final (len, halt, 0)
     entry — the static table the verifier's program-aware binding
     recomputes (aero_tpu/air/miden.py _rom_product)."""
+    from .stdlib import resolve_imports
+    source = resolve_imports(source)
     lib = _load()
     max_entries = 1 << 20
     buf = np.zeros(3 * max_entries, dtype=np.uint64)
@@ -204,9 +208,15 @@ def program_hash(source: str) -> List[int]:
     This hash IS bound to the executed trace: the verifier checks it
     against the supplied source, assembles the source, and pins the
     committed program-ROM chiplet to the listing via the aux3 product
-    boundary (aero_tpu/air/miden.py)."""
+    boundary (aero_tpu/air/miden.py).
+
+    Stdlib imports (use.std::...) are resolved BEFORE hashing, so the
+    commitment covers the executed procedure bodies — the analog of the
+    reference's StdLibrary module provider feeding the MAST
+    (Assembler::with_module_provider, SURVEY §2.10)."""
     from .mast import mast_root_felts
-    return mast_root_felts(source)
+    from .stdlib import resolve_imports
+    return mast_root_felts(resolve_imports(source))
 
 
 def fibonacci_source(n_iters: int) -> str:

@@ -182,15 +182,38 @@ def long_fib_source(n_iters: int) -> str:
 
 
 def bench_proof_scale(log_rows=20, grind=16):
-    """BASELINE 'Full proof scale-up' workload: one MIDEN proof over a
+    """BASELINE 'Full proof scale-up' workload: MIDEN proofs over a
     2^20-row trace of REAL execution (not padding), 27 queries, blowup 8
-    (2^23-point LDE domain), blake2s. Proved once — no warm second run;
-    the compile cache absorbs jit cost across bench invocations."""
+    (2^23-point LDE domain), blake2s. Returns (steady_dt, cold_dt, size):
+    the first proof in the process pays relay module loads + any compile
+    cache misses (cold_dt); the second is the deployment-shape
+    steady-state number (a resident prover process, e.g. the SDK
+    server)."""
+    import time as _t
+    from aero_tpu.vm import execute_full, program_hash
+    from aero_tpu.air.miden import MidenAir, make_public_inputs
+    from aero_tpu.field import to_gf
+    from aero_tpu.spec.proof import ProofOptions
+    from aero_tpu.prover.prover import prove
+
     n_iters = ((1 << log_rows) - 64) // 12
-    dt, size, rows = _prove_once(long_fib_source(n_iters), [0, 1],
-                                 1 << log_rows, grind, warm=False)
-    assert rows == 1 << log_rows, f"trace padded to {rows}"
-    return dt, size
+    src = long_fib_source(n_iters)
+    trace, out_stack, overflow = execute_full(
+        src, [0, 1], min_rows=1 << log_rows, max_rows=1 << 23)
+    assert trace.shape[1] == 1 << log_rows, f"trace padded to {trace.shape[1]}"
+    pub = make_public_inputs(program_hash(src), [0, 1], out_stack,
+                             overflow=overflow)
+    opts = ProofOptions(num_queries=27, blowup_factor=8,
+                        grinding_factor=grind)
+    air = MidenAir(trace.shape[1], pub, opts, program=src)
+    gtrace = to_gf(trace)
+    t0 = _t.perf_counter()
+    proof = prove(air, gtrace, pub)
+    cold_dt = _t.perf_counter() - t0
+    t0 = _t.perf_counter()
+    proof = prove(air, gtrace, pub)
+    steady_dt = _t.perf_counter() - t0
+    return steady_dt, cold_dt, len(proof.to_bytes())
 
 
 def _enable_compile_cache():
@@ -253,39 +276,92 @@ def _watchdog():
     t.start()
 
 
+def bench_lde_2e24(log_n=24, log_blowup=3):
+    """Single-chip 2^24-point coset LDE (the buildable-here half of the
+    BASELINE multi-host 2^24 north star; the distributed formulation is
+    parallel/dist_ntt.py, value-equality-tested on the 8-device CPU
+    mesh at 2^22)."""
+    from aero_tpu.field import to_gf
+    from aero_tpu.ntt import lde
+
+    n = 1 << log_n
+    rng = np.random.default_rng(3)
+    polys = to_gf(rng.integers(0, (1 << 64) - (1 << 32) + 1,
+                               size=(1, n), dtype=np.uint64))
+    dt = _bench(lambda p: lde(p, log_blowup), polys, warmup=1, iters=2)
+    m = n << log_blowup
+    butterflies = (m // 2) * (log_n + log_blowup)
+    return butterflies / dt, dt
+
+
+def _guard(metric_names, fn):
+    """Run one bench step; on ANY failure print skip records instead of
+    letting the exception take the whole bench down (rc != 0 records
+    nothing driver-visible — BENCH_r04)."""
+    try:
+        fn()
+    except Exception as e:  # noqa: BLE001
+        for m in metric_names:
+            if m not in _PRINTED:
+                _skip(m, f"{type(e).__name__}: {e}"[:200])
+
+
 def main():
     import jax  # noqa: F401  (platform comes from the environment: TPU)
     _enable_compile_cache()
     _PLAN.extend(["goldilocks_ntt_butterflies_per_s_per_chip",
                   "merkle_commit_2e20_leaves_s",
+                  "lde_2e24_butterflies_per_s",
                   "fib_2e10_proof_wall_clock",
                   "fib_2e10_proof_size",
-                  "miden_2e20_row_proof_wall_clock"])
+                  "miden_2e20_row_proof_wall_clock",
+                  "miden_2e20_row_proof_cold_wall_clock"])
     _watchdog()
 
-    rate, dt = bench_ntt()
-    _emit("goldilocks_ntt_butterflies_per_s_per_chip", round(rate, 1),
-          "butterflies/s", round(rate / BASELINE_BUTTERFLIES_PER_S, 3))
+    def step_ntt():
+        rate, dt = bench_ntt()
+        _emit("goldilocks_ntt_butterflies_per_s_per_chip", round(rate, 1),
+              "butterflies/s", round(rate / BASELINE_BUTTERFLIES_PER_S, 3))
+    _guard(["goldilocks_ntt_butterflies_per_s_per_chip"], step_ntt)
 
-    mrate, mdt = bench_merkle()
-    _emit("merkle_commit_2e20_leaves_s", round(mdt, 4), "s")
+    def step_merkle():
+        mrate, mdt = bench_merkle()
+        _emit("merkle_commit_2e20_leaves_s", round(mdt, 4), "s")
+    _guard(["merkle_commit_2e20_leaves_s"], step_merkle)
+
+    def step_lde24():
+        rate, dt = bench_lde_2e24()
+        _emit("lde_2e24_butterflies_per_s", round(rate, 1),
+              "butterflies/s", round(rate / BASELINE_BUTTERFLIES_PER_S, 3))
+    if _remaining() > 900:
+        _guard(["lde_2e24_butterflies_per_s"], step_lde24)
+    else:
+        _skip("lde_2e24_butterflies_per_s", "insufficient budget")
 
     # e2e proof wall clocks: golden workload (warm = steady-state second
     # proof in the same process) and the BASELINE 2^20-row scale-up
-    if _remaining() > 240:
+    def step_proof():
         pdt, psize = bench_proof()
         _emit("fib_2e10_proof_wall_clock", round(pdt, 3), "s")
         _emit("fib_2e10_proof_size", psize, "bytes",
               round(psize / 50303, 3))
+    if _remaining() > 240:
+        _guard(["fib_2e10_proof_wall_clock", "fib_2e10_proof_size"],
+               step_proof)
     else:
         _skip("fib_2e10_proof_wall_clock", "insufficient budget")
         _skip("fib_2e10_proof_size", "insufficient budget")
 
-    if _remaining() > 420:
-        sdt, ssize = bench_proof_scale()
+    def step_scale():
+        sdt, cdt, ssize = bench_proof_scale()
         _emit("miden_2e20_row_proof_wall_clock", round(sdt, 3), "s")
+        _emit("miden_2e20_row_proof_cold_wall_clock", round(cdt, 3), "s")
+    if _remaining() > 420:
+        _guard(["miden_2e20_row_proof_wall_clock",
+                "miden_2e20_row_proof_cold_wall_clock"], step_scale)
     else:
         _skip("miden_2e20_row_proof_wall_clock", "insufficient budget")
+        _skip("miden_2e20_row_proof_cold_wall_clock", "insufficient budget")
 
     if "--all" in sys.argv:
         hrate, hdt = bench_hash()

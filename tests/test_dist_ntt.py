@@ -65,3 +65,22 @@ class TestDistNtt:
         got = from_gf(dist_ntt(mesh, x))
         want = from_gf(ntt(x))
         assert np.array_equal(got, want)
+
+
+class TestDistNttBatched:
+    def test_batched_forward(self, mesh):
+        rng = np.random.default_rng(11)
+        x = to_gf(rng.integers(0, F.P, size=(3, 1 << 9), dtype=np.uint64))
+        assert np.array_equal(from_gf(dist_ntt(mesh, x)), from_gf(ntt(x)))
+
+    def test_dist_lde_cols_matches_prover_lde(self, mesh):
+        """The dryrun's 12-chunk column LDE == the single-device
+        (iNTT, coset-LDE) pair, bit-exact — main-width-shaped."""
+        from aero_tpu.parallel.sharded import dist_lde_cols
+        rng = np.random.default_rng(12)
+        x = to_gf(rng.integers(0, F.P, size=(13, 1 << 6), dtype=np.uint64))
+        polys_d, lde_d = dist_lde_cols(mesh, x, 3)
+        polys = intt(x)
+        want = lde(polys, 3, F.DOMAIN_OFFSET)
+        assert np.array_equal(from_gf(polys_d), from_gf(polys))
+        assert np.array_equal(from_gf(lde_d), from_gf(want))
