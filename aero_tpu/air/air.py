@@ -134,36 +134,27 @@ class Air:
         through 1-element GF arrays — ONE source of truth for the
         constraint semantics on both prover and verifier sides.
 
-        On the CPU backend the ~1k tiny ops run eagerly (cheap; jitting
-        this module hits the XLA:CPU wide-fanout scheduler pathology).
-        Through the TPU axon relay each eager dispatch carries a ~30 ms
-        sync floor — ~60 s per verification — so there the module is
-        jitted ONCE per air (outputs stacked so the host fetch is a
-        single transfer) and reused across proofs."""
+        Always runs on the HOST CPU backend: the ~1k tiny eager ops cost
+        ~0.1 s there, while through the TPU axon relay each dispatch
+        carries a ~30 ms sync floor (~60 s per verification) and jitting
+        the module costs a fresh TPU compile per air instance. The
+        in-process CpuDevice exists even when the default platform is
+        the TPU plugin."""
         import jax
         import numpy as np
-        from ..field import to_gf, from_gf, gf_concat
+        from ..field import to_gf, from_gf
 
-        def col(vals):
-            return to_gf(np.array([[v] for v in vals], dtype=np.uint64)) if vals else None
+        cpu = jax.devices("cpu")[0]
+        with jax.default_device(cpu):
+            def col(vals):
+                return to_gf(np.array([[v] for v in vals],
+                                      dtype=np.uint64)) if vals else None
 
-        args = (col(list(main_cur)), col(list(main_nxt)),
+            outs = self.evaluate_transitions(
+                col(list(main_cur)), col(list(main_nxt)),
                 col(list(aux_cur)), col(list(aux_nxt)),
                 [to_gf(np.uint64(int(r) % F.P)) for r in aux_rand])
-
-        if jax.default_backend() == "cpu":
-            outs = self.evaluate_transitions(*args)
             return [int(from_gf(o)[0]) for o in outs]
-
-        cache = self.__dict__.setdefault("_prover_cache", {})
-        fn = cache.get("scalar_eval_jit")
-        if fn is None:
-            def stacked(mc, mn, ac, an, rands):
-                outs = self.evaluate_transitions(mc, mn, ac, an, rands)
-                return gf_concat([o.reshape(1) for o in outs], axis=0)
-            fn = jax.jit(stacked)
-            cache["scalar_eval_jit"] = fn
-        return [int(v) for v in from_gf(fn(*args))]
 
     # ---- degree adjustment (shared prover/verifier) ----
 
