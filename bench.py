@@ -351,17 +351,19 @@ def main():
         _emit("merkle_commit_2e20_leaves_s", round(mdt, 4), "s")
     _guard(["merkle_commit_2e20_leaves_s"], step_merkle)
 
-    def step_lde24():
-        rate, dt = bench_lde_2e24()
-        _emit("lde_2e24_butterflies_per_s", round(rate, 1),
-              "butterflies/s", round(rate / BASELINE_BUTTERFLIES_PER_S, 3))
-    if _remaining() > 900:
-        _guard(["lde_2e24_butterflies_per_s"], step_lde24)
+    # e2e proof wall clocks next — the marquee metrics, so they run
+    # BEFORE the cheaper-to-lose lde24/fib entries if budget is tight
+    def step_scale():
+        sdt, cdt, ssize = bench_proof_scale()
+        _emit("miden_2e20_row_proof_wall_clock", round(sdt, 3), "s")
+        _emit("miden_2e20_row_proof_cold_wall_clock", round(cdt, 3), "s")
+    if _remaining() > 420:
+        _guard(["miden_2e20_row_proof_wall_clock",
+                "miden_2e20_row_proof_cold_wall_clock"], step_scale)
     else:
-        _skip("lde_2e24_butterflies_per_s", "insufficient budget")
+        _skip("miden_2e20_row_proof_wall_clock", "insufficient budget")
+        _skip("miden_2e20_row_proof_cold_wall_clock", "insufficient budget")
 
-    # e2e proof wall clocks: golden workload (warm = steady-state second
-    # proof in the same process) and the BASELINE 2^20-row scale-up
     def step_proof():
         pdt, psize = bench_proof()
         _emit("fib_2e10_proof_wall_clock", round(pdt, 3), "s")
@@ -374,16 +376,14 @@ def main():
         _skip("fib_2e10_proof_wall_clock", "insufficient budget")
         _skip("fib_2e10_proof_size", "insufficient budget")
 
-    def step_scale():
-        sdt, cdt, ssize = bench_proof_scale()
-        _emit("miden_2e20_row_proof_wall_clock", round(sdt, 3), "s")
-        _emit("miden_2e20_row_proof_cold_wall_clock", round(cdt, 3), "s")
-    if _remaining() > 420:
-        _guard(["miden_2e20_row_proof_wall_clock",
-                "miden_2e20_row_proof_cold_wall_clock"], step_scale)
+    def step_lde24():
+        rate, dt = bench_lde_2e24()
+        _emit("lde_2e24_butterflies_per_s", round(rate, 1),
+              "butterflies/s", round(rate / BASELINE_BUTTERFLIES_PER_S, 3))
+    if _remaining() > 300:
+        _guard(["lde_2e24_butterflies_per_s"], step_lde24)
     else:
-        _skip("miden_2e20_row_proof_wall_clock", "insufficient budget")
-        _skip("miden_2e20_row_proof_cold_wall_clock", "insufficient budget")
+        _skip("lde_2e24_butterflies_per_s", "insufficient budget")
 
     if "--all" in sys.argv:
         hrate, hdt = bench_hash()
